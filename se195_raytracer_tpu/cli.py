@@ -1,0 +1,173 @@
+"""Command-line interface.
+
+Replaces the reference's CLI surface (SURVEY.md §2a: ``smallptGPU
+<useGPU> <wgSize> <kernel> <w> <h> <scene>`` from the RUN_SCENE_*.bat
+launchers, smallptGPU.cpp:836-854) with subcommands:
+
+    se195-render render --scene cornell --width 512 --height 512 --spp 8 \
+        --integrator pt --out out.png
+    se195-render bench --scene cornell --width 512 --height 512 --spp 8
+    se195-render scenes
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_render_args(p: argparse.ArgumentParser):
+    p.add_argument("--scene", default="cornell", help="registry name or .scn path")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--spp", type=int, default=8)
+    p.add_argument("--max-depth", type=int, default=7)
+    p.add_argument(
+        "--integrator",
+        choices=["pt", "dl", "whitted"],
+        default="pt",
+        help="pt=RadiancePathTracing, dl=RadianceDirectLighting, whitted=ray-queue Whitted",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ray-tile", type=int, default=None)
+
+
+def _load_scene(name: str):
+    import os
+
+    from se195_raytracer_tpu.scenes.parser import load_scn
+    from se195_raytracer_tpu.scenes.registry import SCENES, get_scene, list_scenes
+
+    if name in SCENES:
+        return get_scene(name)
+    if os.path.exists(name):
+        return load_scn(name)
+    sys.exit(
+        f"error: unknown scene {name!r} — not a registry name "
+        f"({', '.join(list_scenes())}) and no such file"
+    )
+
+
+def cmd_render(args) -> int:
+    import numpy as np
+
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.driver.render import render
+    from se195_raytracer_tpu.io.image import write_image
+    from se195_raytracer_tpu.ops.tonemap import to_int_np
+
+    spec = _load_scene(args.scene)
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp=args.spp,
+        max_depth=args.max_depth,
+        integrator=args.integrator if args.integrator in ("pt", "dl") else "pt",
+        seed=args.seed,
+        ray_tile=args.ray_tile,
+    )
+    t0 = time.perf_counter()
+    if args.integrator == "whitted":
+        try:
+            from se195_raytracer_tpu.models.whitted import render_whitted
+        except ImportError:
+            print("whitted integrator is not available in this build", file=sys.stderr)
+            return 2
+        img = np.asarray(render_whitted(spec, cfg))
+        img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+    else:
+        img, _ = render(spec.to_scene(), spec.to_camera(), cfg)
+        img = np.asarray(img)
+        img_u8 = to_int_np(img).astype(np.uint8)
+    elapsed = time.perf_counter() - t0
+    rays = args.width * args.height * args.spp
+    print(
+        f"rendered {args.scene} {args.width}x{args.height} spp={args.spp} "
+        f"in {elapsed:.3f}s ({rays / elapsed / 1e3:.1f}K samples/sec)",
+        file=sys.stderr,
+    )
+    if args.out:
+        write_image(img_u8, args.out)
+        print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.driver.render import render
+
+    spec = _load_scene(args.scene)
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp=args.spp,
+        max_depth=args.max_depth,
+        integrator="dl" if args.integrator == "dl" else "pt",
+        seed=args.seed,
+        ray_tile=args.ray_tile,
+    )
+    scene, camera = spec.to_scene(), spec.to_camera()
+    img, state = render(scene, camera, cfg)
+    img.block_until_ready()
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        img, state = render(scene, camera, cfg, state=state)
+        img.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    rays = args.width * args.height * args.spp
+    print(
+        json.dumps(
+            {
+                "scene": args.scene,
+                "width": args.width,
+                "height": args.height,
+                "spp": args.spp,
+                "integrator": args.integrator,
+                "device": str(jax.devices()[0]),
+                "elapsed_s": round(best, 4),
+                "rays_per_sec": round(rays / best, 1),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_scenes(_args) -> int:
+    from se195_raytracer_tpu.scenes.registry import list_scenes
+
+    for name in list_scenes():
+        print(name)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="se195-render")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render a scene to an image file")
+    _add_render_args(p)
+    p.add_argument("--out", default="out.png", help=".png/.ppm/.bmp path ('' to skip)")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="benchmark a workload, print JSON")
+    _add_render_args(p)
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("scenes", help="list built-in scenes")
+    p.set_defaults(fn=cmd_scenes)
+
+    args = parser.parse_args(argv)
+    from se195_raytracer_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
