@@ -58,7 +58,6 @@ def cmd_render(args) -> int:
     from se195_raytracer_tpu.io.image import write_image
     from se195_raytracer_tpu.ops.tonemap import to_int_np
 
-    spec = _load_scene(args.scene)
     cfg = RenderConfig(
         width=args.width,
         height=args.height,
@@ -70,14 +69,14 @@ def cmd_render(args) -> int:
     )
     t0 = time.perf_counter()
     if args.integrator == "whitted":
-        try:
-            from se195_raytracer_tpu.models.whitted import render_whitted
-        except ImportError:
-            print("whitted integrator is not available in this build", file=sys.stderr)
-            return 2
-        img = np.asarray(render_whitted(spec, cfg))
+        from se195_raytracer_tpu.models.whitted import render_whitted
+        from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
+
+        name = args.scene if args.scene in WHITTED_SCENES else "room"
+        img = np.asarray(render_whitted(name, cfg))
         img_u8 = np.clip(img, 0, 255).astype(np.uint8)
     else:
+        spec = _load_scene(args.scene)
         img, _ = render(spec.to_scene(), spec.to_camera(), cfg)
         img = np.asarray(img)
         img_u8 = to_int_np(img).astype(np.uint8)

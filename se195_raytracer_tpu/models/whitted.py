@@ -1,0 +1,473 @@
+"""Whitted reflect/refract tracer, tree form.
+
+TPU-native re-expression of the reference's Whitted family:
+
+* The OpenCL ray-*queue* kernel (Raytracer3.2.03/raytracer_kernel.cl:
+  raytracer_kernel:246-383 with PUSH_RAY/POP_RAY :34-44, raytrace
+  :163-242, plane/sphere intersect :89-137, Beer transparency :370) and
+* the de-recursified ray-*tree* engine (raytracer3.0.06.no_rec.samp/
+  raytracer.cpp Engine_Render:301-530 — a 63-node binary tree, children of
+  node i at 2i+1 reflection / 2i+2 refraction).
+
+Since every queue entry's contribution is summed into the accumulator
+independently, queue order is irrelevant and the bounded binary tree is
+the canonical scan-friendly shape (SURVEY.md §3.4): we run one
+``lax.scan`` over the 2^(depth+1)-1 heap-ordered nodes; each step traces
+that node's ray batch, accumulates its weighted contribution, and writes
+its two children. Divergence (plane/sphere, hit/inprim, lit/shadowed)
+is masked lane arithmetic.
+
+Semantics flags:
+* ``hit_bias`` — the 3.2.03 kernel biases sphere near-hits by +0.005
+  (raytracer_kernel.cl:128: ``i1 < cumu_dist + 0.005f``); the 3.2.02
+  kernel and the scalar CPU port (raytracer_non_OpenCL.c:139) do not.
+  Default 0.0 (CPU/3.2.02 semantics); set 0.005 for 3.2.03-kernel parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se195_raytracer_tpu.scenes.whitted_scenes import PLANE, SPHERE, WhittedScene
+
+# raytracer_kernel.cl:26-30
+HIT = 1
+MISS = 0
+INPRIM = -1
+W_EPSILON = 0.001  # Whitted-family epsilon (raytracer_kernel.cl:30)
+
+# Ray node types (raytracer_kernel.cl:50-54)
+ORIGIN = 0
+REFLECTED = 1
+REFRACTED = 2
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _prim_tests(scene: WhittedScene, o: jnp.ndarray, d: jnp.ndarray):
+    """Vectorized per-primitive intersection candidates.
+
+    Returns (plane_dist, plane_valid, i1, i2, sphere_valid), each [R, N]:
+    plane test per raytracer_kernel.cl:89-102, sphere quadratic per
+    :104-137 (the INPRIM/near-root selection happens in the sequential
+    nearest-hit fold, where the reference's order-dependent bias lives).
+    """
+    # Planes: dist = -(n.o + depth) / (n.d), valid if n.d != 0 and dist > 0.
+    denom = jnp.einsum("nk,rk->rn", scene.normal, d)
+    num = -(jnp.einsum("nk,rk->rn", scene.normal, o) + scene.depth[None, :])
+    denom_safe = jnp.where(denom != 0.0, denom, 1.0)
+    pdist = num / denom_safe
+    pvalid = (denom != 0.0) & (pdist > 0.0)
+
+    # Spheres: v = o - c; b = -v.d; det = b^2 - v.v + r^2.
+    v = o[:, None, :] - scene.center[None, :, :]
+    b = -jnp.sum(v * d[:, None, :], axis=-1)
+    det = b * b - jnp.sum(v * v, axis=-1) + scene.sq_radius[None, :]
+    svalid = det > 0.0
+    sq = jnp.sqrt(jnp.where(svalid, det, 0.0))
+    i1 = b - sq
+    i2 = b + sq
+    svalid = svalid & (i2 > 0.0)
+    return pdist, pvalid, i1, i2, svalid
+
+
+def whitted_nearest(
+    scene: WhittedScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    hit_bias: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sequential nearest-hit fold over primitives (raytrace:163-177).
+
+    The reference's loop is order-dependent: each primitive that improves
+    ``cumu_dist`` (with the sphere ``+bias`` slack) takes the hit, so with
+    bias > 0 a *later* primitive can steal the hit with a slightly larger
+    distance. We reproduce this with a fori fold over the primitive axis.
+
+    Returns (prim_idx [R] int32 — -1 if miss, result [R] int32 HIT/INPRIM,
+    dist [R]).
+    """
+    r = o.shape[0]
+    n = scene.num_prims
+    pdist, pvalid, i1, i2, svalid = _prim_tests(scene, o, d)
+    type_arr = jnp.asarray(np.array(scene.ptype, np.int32))
+    bias = jnp.float32(hit_bias)
+
+    def body(j, carry):
+        cumu, idx, res = carry
+        is_plane = type_arr[j] == PLANE
+        upd_plane = is_plane & pvalid[:, j] & (pdist[:, j] < cumu)
+        inprim = svalid[:, j] & (i1[:, j] < 0.0) & (i2[:, j] < cumu)
+        hit_near = svalid[:, j] & (i1[:, j] >= 0.0) & (i1[:, j] < cumu + bias)
+        upd_sphere = (~is_plane) & (inprim | hit_near)
+        upd = upd_plane | upd_sphere
+        new_dist = jnp.where(
+            is_plane, pdist[:, j], jnp.where(i1[:, j] < 0.0, i2[:, j], i1[:, j])
+        )
+        cumu = jnp.where(upd, new_dist, cumu)
+        idx = jnp.where(upd, j, idx)
+        res = jnp.where(upd, jnp.where(upd_sphere & inprim, INPRIM, HIT), res)
+        return cumu, idx, res
+
+    cumu0 = jnp.full((r,), jnp.finfo(jnp.float32).max)
+    idx0 = jnp.full((r,), -1, jnp.int32)
+    res0 = jnp.full((r,), MISS, jnp.int32)
+    cumu, idx, res = jax.lax.fori_loop(0, n, body, (cumu0, idx0, res0))
+    return idx, res, cumu
+
+
+def whitted_occluded(
+    scene: WhittedScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    max_t: jnp.ndarray,
+    hit_bias: float = 0.0,
+) -> jnp.ndarray:
+    """Shadow predicate (raytrace:199-212): any non-light primitive hit
+    closer than max_t (the reference breaks on the first hit, and max_t is
+    only mutated after the break, so an any() is exact)."""
+    pdist, pvalid, i1, i2, svalid = _prim_tests(scene, o, d)
+    non_light = jnp.asarray(np.array([not l for l in scene.is_light], bool))
+    type_arr = jnp.asarray(np.array(scene.ptype, np.int32))
+    bias = jnp.float32(hit_bias)
+    mt = max_t[:, None]
+    plane_hit = (type_arr[None, :] == PLANE) & pvalid & (pdist < mt)
+    sphere_hit = (
+        (type_arr[None, :] == SPHERE)
+        & svalid
+        & jnp.where(i1 < 0.0, i2 < mt, i1 < mt + bias)
+    )
+    return jnp.any(non_light[None, :] & (plane_hit | sphere_hit), axis=-1)
+
+
+def _get_normal(scene: WhittedScene, prim_idx: jnp.ndarray, point: jnp.ndarray):
+    """get_normal (raytracer_kernel.cl:151-161), gathered per lane."""
+    type_arr = jnp.asarray(np.array(scene.ptype, np.int32))
+    is_plane = (type_arr[prim_idx] == PLANE)[:, None]
+    n_plane = scene.normal[prim_idx]
+    n_sphere = (point - scene.center[prim_idx]) * scene.r_radius[prim_idx][:, None]
+    return jnp.where(is_plane, n_plane, n_sphere)
+
+
+def whitted_shade(
+    scene: WhittedScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    hit_bias: float = 0.0,
+):
+    """raytrace (raytracer_kernel.cl:163-242): nearest hit + local shading.
+
+    Returns (prim_idx, result, dist, point, color [R,3]).
+    Lights return their material color directly; other hits accumulate
+    N.L diffuse and Phong^20 specular per light with hard point-shadows
+    cast toward each sphere light's center.
+    """
+    prim_idx, result, dist = whitted_nearest(scene, o, d, hit_bias)
+    hit = prim_idx >= 0
+    safe_idx = jnp.maximum(prim_idx, 0)
+    dist_safe = jnp.where(hit, dist, 1.0)
+    point = o + d * dist_safe[:, None]
+
+    is_light_arr = jnp.asarray(np.array(scene.is_light, bool))
+    hit_is_light = hit & is_light_arr[safe_idx]
+
+    acc = jnp.zeros_like(o)
+    n_hit = _get_normal(scene, safe_idx, point)
+    m_diff = scene.diff[safe_idx]
+    m_spec = scene.spec[safe_idx]
+    m_color = scene.color[safe_idx]
+
+    for li in range(scene.num_prims):
+        if not scene.is_light[li]:
+            continue
+        l_vec = scene.center[li][None, :] - point
+        l_len = jnp.sqrt(jnp.maximum(_dot(l_vec, l_vec), 1e-30))
+        l_dir = l_vec / l_len[:, None]
+        if scene.ptype[li] == SPHERE:
+            sh_o = point + l_dir * jnp.float32(W_EPSILON)
+            occluded = whitted_occluded(scene, sh_o, l_dir, l_len, hit_bias)
+            shade = jnp.where(occluded, 0.0, 1.0)
+        else:
+            shade = jnp.ones_like(l_len)
+        # Diffuse: dot(N, L) > 0 (raytracer_kernel.cl:215-223)
+        dnl = _dot(n_hit, l_dir)
+        diff_term = jnp.where(
+            (m_diff > 0.0) & (dnl > 0.0),
+            dnl * m_diff * shade,
+            0.0,
+        )
+        acc = acc + diff_term[:, None] * m_color * scene.color[li][None, :]
+        # Specular: R = L - 2 dot(L, N) N; powr(dot(V, R), 20) (:225-236)
+        r_vec = l_dir - (2.0 * dnl)[:, None] * n_hit
+        dvr = _dot(d, r_vec)
+        spec_term = jnp.where(
+            (m_spec > 0.0) & (dvr > 0.0),
+            jnp.power(jnp.maximum(dvr, 0.0), jnp.float32(20.0)) * m_spec * shade,
+            0.0,
+        )
+        acc = acc + spec_term[:, None] * scene.color[li][None, :]
+
+    color = jnp.where(
+        hit_is_light[:, None],
+        m_color,
+        jnp.where(hit[:, None], acc, 0.0),
+    )
+    return prim_idx, result, dist_safe, point, color
+
+
+class _TreeArrays(NamedTuple):
+    o: jnp.ndarray  # [R, M, 3]
+    d: jnp.ndarray  # [R, M, 3]
+    weight: jnp.ndarray  # [R, M]
+    rtype: jnp.ndarray  # [R, M] int32 ORIGIN/REFLECTED/REFRACTED
+    origin_prim: jnp.ndarray  # [R, M] int32
+    r_index: jnp.ndarray  # [R, M]
+    transp: jnp.ndarray  # [R, M, 3]
+    valid: jnp.ndarray  # [R, M] bool
+
+
+def whitted_trace(
+    scene: WhittedScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    trace_depth: int = 5,
+    hit_bias: float = 0.0,
+) -> jnp.ndarray:
+    """Trace a batch of primary rays through the bounded reflect/refract
+    tree; returns accumulated color [R, 3] (pre tone-scale).
+
+    Heap layout: node i's reflection child is 2i+1, refraction child 2i+2
+    (the 3.0.06 formulation, raytracer.cpp:398-472); contribution rules per
+    ray type follow raytracer_kernel.cl:317-328.
+    """
+    r = o.shape[0]
+    m = 2 ** (trace_depth + 1) - 1  # 63 for depth 5
+
+    def full(val, shape, dtype=jnp.float32):
+        return jnp.full(shape, val, dtype)
+
+    arrays = _TreeArrays(
+        o=jnp.zeros((r, m, 3)).at[:, 0].set(o),
+        d=jnp.zeros((r, m, 3)).at[:, 0].set(d),
+        weight=full(0.0, (r, m)).at[:, 0].set(1.0),
+        rtype=full(ORIGIN, (r, m), jnp.int32),
+        origin_prim=full(-1, (r, m), jnp.int32),
+        r_index=full(1.0, (r, m)).at[:, 0].set(1.0),
+        transp=jnp.zeros((r, m, 3)).at[:, 0].set(1.0),
+        valid=full(False, (r, m), bool).at[:, 0].set(True),
+    )
+    acc0 = jnp.zeros((r, 3))
+    # Heap level of each node, computed statically.
+    levels = np.floor(np.log2(np.arange(m) + 1)).astype(np.int32)
+    has_children = (levels < trace_depth).astype(np.int32)
+
+    def step(carry, xs):
+        arrays, acc = carry
+        i, has_kids = xs
+        node_o = jnp.take(arrays.o, i, axis=1)
+        node_d = jnp.take(arrays.d, i, axis=1)
+        weight = jnp.take(arrays.weight, i, axis=1)
+        rtype = jnp.take(arrays.rtype, i, axis=1)
+        origin_prim = jnp.take(arrays.origin_prim, i, axis=1)
+        r_index = jnp.take(arrays.r_index, i, axis=1)
+        transp = jnp.take(arrays.transp, i, axis=1)
+        valid = jnp.take(arrays.valid, i, axis=1)
+
+        prim_idx, result, dist, point, ray_col = whitted_shade(
+            scene, node_o, node_d, hit_bias
+        )
+        hit = prim_idx >= 0
+        safe_idx = jnp.maximum(prim_idx, 0)
+
+        # Contribution (raytracer_kernel.cl:317-328).
+        parent_col = scene.color[jnp.maximum(origin_prim, 0)]
+        factor = jnp.where(
+            (rtype == ORIGIN)[:, None],
+            jnp.ones((r, 3)),
+            jnp.where(
+                (rtype == REFLECTED)[:, None],
+                parent_col * transp,
+                transp,
+            ),
+        )
+        acc = acc + jnp.where(
+            valid[:, None], ray_col * weight[:, None] * factor, 0.0
+        )
+
+        def write_children(arrays):
+            n_hit = _get_normal(scene, safe_idx, point)
+            # Reflection child (raytracer_kernel.cl:332-348).
+            refl_f = scene.refl[safe_idx]
+            rdir = node_d - (2.0 * _dot(node_d, n_hit))[:, None] * n_hit
+            ro = point + rdir * jnp.float32(W_EPSILON)
+            refl_ok = valid & hit & (refl_f > 0.0)
+            ci = 2 * i + 1
+            arrays = arrays._replace(
+                o=jax.lax.dynamic_update_index_in_dim(arrays.o, ro, ci, 1),
+                d=jax.lax.dynamic_update_index_in_dim(arrays.d, rdir, ci, 1),
+                weight=jax.lax.dynamic_update_index_in_dim(
+                    arrays.weight, refl_f * weight, ci, 1
+                ),
+                rtype=jax.lax.dynamic_update_index_in_dim(
+                    arrays.rtype, jnp.full((r,), REFLECTED, jnp.int32), ci, 1
+                ),
+                origin_prim=jax.lax.dynamic_update_index_in_dim(
+                    arrays.origin_prim, safe_idx, ci, 1
+                ),
+                r_index=jax.lax.dynamic_update_index_in_dim(
+                    arrays.r_index, r_index, ci, 1
+                ),
+                transp=jax.lax.dynamic_update_index_in_dim(
+                    arrays.transp, transp, ci, 1
+                ),
+                valid=jax.lax.dynamic_update_index_in_dim(
+                    arrays.valid, refl_ok, ci, 1
+                ),
+            )
+            # Refraction child (raytracer_kernel.cl:350-372).
+            refr_f = scene.refr[safe_idx]
+            m_rindex = scene.refr_index[safe_idx]
+            m_rindex_safe = jnp.where(m_rindex != 0.0, m_rindex, 1.0)
+            n_ratio = r_index / m_rindex_safe
+            n2 = n_hit * result.astype(jnp.float32)[:, None]
+            cos_i = -_dot(n2, node_d)
+            cos_t2 = 1.0 - n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+            tdir = n_ratio[:, None] * node_d + (
+                n_ratio * cos_i - jnp.sqrt(jnp.maximum(cos_t2, 0.0))
+            )[:, None] * n2
+            to = point + tdir * jnp.float32(W_EPSILON)
+            # Beer's law (raytracer_kernel.cl:370).
+            t_child = transp * jnp.exp(
+                scene.color[safe_idx] * jnp.float32(0.15) * (-dist)[:, None]
+            )
+            refr_ok = valid & hit & (refr_f > 0.0) & (cos_t2 > 0.0)
+            ci2 = 2 * i + 2
+            arrays = arrays._replace(
+                o=jax.lax.dynamic_update_index_in_dim(arrays.o, to, ci2, 1),
+                d=jax.lax.dynamic_update_index_in_dim(arrays.d, tdir, ci2, 1),
+                weight=jax.lax.dynamic_update_index_in_dim(
+                    arrays.weight, weight, ci2, 1
+                ),
+                rtype=jax.lax.dynamic_update_index_in_dim(
+                    arrays.rtype, jnp.full((r,), REFRACTED, jnp.int32), ci2, 1
+                ),
+                origin_prim=jax.lax.dynamic_update_index_in_dim(
+                    arrays.origin_prim, safe_idx, ci2, 1
+                ),
+                r_index=jax.lax.dynamic_update_index_in_dim(
+                    arrays.r_index, m_rindex_safe, ci2, 1
+                ),
+                transp=jax.lax.dynamic_update_index_in_dim(
+                    arrays.transp, t_child, ci2, 1
+                ),
+                valid=jax.lax.dynamic_update_index_in_dim(
+                    arrays.valid, refr_ok, ci2, 1
+                ),
+            )
+            return arrays
+
+        arrays = jax.lax.cond(
+            has_kids > 0, write_children, lambda a: a, arrays
+        )
+        return (arrays, acc), None
+
+    xs = (
+        jnp.arange(m, dtype=jnp.int32),
+        jnp.asarray(has_children),
+    )
+    (arrays, acc), _ = jax.lax.scan(step, (arrays, acc0), xs)
+    return acc
+
+
+def whitted_camera_rays(
+    width: int, height: int, supersample: int = 3
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primary rays for the fixed Whitted camera (raytracer_kernel.cl:
+    267-305): window x in [-3, 3], y in [2.25, -2.25] (top row first),
+    camera at (0, 0.25, -7), screen plane z = 0, 3x3 subpixel offsets
+    tx, ty in {-1, 0, 1} scaled by half a pixel.
+
+    Returns (origins [R, 3], dirs [R, 3]) with R = H*W*supersample^2,
+    ordered pixel-major then subsample (tx outer, ty inner — matching the
+    kernel's loop nesting :291-292).
+    """
+    wx1, wx2 = -3.0, 3.0
+    wy1, wy2 = 2.25, -2.25
+    dx = (wx2 - wx1) / width
+    dy = (wy2 - wy1) / height
+    xs = np.arange(width, dtype=np.float32)
+    ys = np.arange(height, dtype=np.float32)
+    sx = wx1 + xs * dx  # [W]
+    sy = wy1 + ys * dy  # [H]
+    offs = np.arange(supersample, dtype=np.float32) - (supersample // 2)
+    # Pixel grid [H, W] then subsample [S, S] (tx outer, ty inner).
+    px = np.broadcast_to(sx[None, :, None, None], (height, width, supersample, supersample))
+    py = np.broadcast_to(sy[:, None, None, None], (height, width, supersample, supersample))
+    ox = np.broadcast_to(offs[None, None, :, None] * (dx / 2.0), px.shape)
+    oy = np.broadcast_to(offs[None, None, None, :] * (dy / 2.0), px.shape)
+    target = np.stack(
+        [px + ox, py + oy, np.zeros_like(px)], axis=-1
+    ).reshape(-1, 3)
+    camera = np.array([0.0, 0.25, -7.0], np.float32)
+    dirs = target - camera
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.broadcast_to(camera, dirs.shape)
+    return jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "supersample", "trace_depth", "hit_bias", "ray_tile")
+)
+def render_whitted_scene(
+    scene: WhittedScene,
+    width: int = 800,
+    height: int = 600,
+    supersample: int = 3,
+    trace_depth: int = 5,
+    hit_bias: float = 0.0,
+    ray_tile: int | None = None,
+) -> jnp.ndarray:
+    """Full-frame Whitted render -> float32 [H, W, 3] in 0..255 scale
+    (acc * 256 / supersample^2, clamped — raytracer_kernel.cl:378-382)."""
+    o, d = whitted_camera_rays(width, height, supersample)
+    n = o.shape[0]
+    if ray_tile and ray_tile < n:
+        if n % ray_tile:
+            raise ValueError(f"ray_tile {ray_tile} must divide {n}")
+        k = n // ray_tile
+        acc = jax.lax.map(
+            lambda od: whitted_trace(scene, od[0], od[1], trace_depth, hit_bias),
+            (o.reshape(k, ray_tile, 3), d.reshape(k, ray_tile, 3)),
+        ).reshape(n, 3)
+    else:
+        acc = whitted_trace(scene, o, d, trace_depth, hit_bias)
+    ss2 = supersample * supersample
+    acc = acc.reshape(height, width, ss2, 3).sum(axis=2)
+    img = jnp.clip(acc * jnp.float32(256.0 / ss2), 0.0, 255.0)
+    return img
+
+
+def render_whitted(spec_or_scene, config) -> jnp.ndarray:
+    """CLI adapter: render a WhittedScene (or named builder) with a
+    RenderConfig-ish object; returns [H, W, 3] float in 0..255."""
+    from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
+
+    scene = spec_or_scene
+    if isinstance(spec_or_scene, str):
+        scene = WHITTED_SCENES[spec_or_scene]()
+    if not isinstance(scene, WhittedScene):
+        # A smallpt SceneSpec was passed; default to the room scene.
+        scene = WHITTED_SCENES["room"]()
+    return render_whitted_scene(
+        scene,
+        width=config.width,
+        height=config.height,
+        ray_tile=config.ray_tile,
+    )
