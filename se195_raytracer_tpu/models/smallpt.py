@@ -195,7 +195,10 @@ def _bounce_body(scene: Scene, direct_only: bool, carry: BounceCarry, _) -> Tupl
     ddn = _dot(d, nl)
     cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
     tir = cos2t < 0.0
-    kk = jnp.where(into, 1.0, -1.0) * (ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0)))
+    # sqrt of a where-guarded positive (not max(.,0)): keeps backward finite
+    # on TIR lanes (sqrt'(0) = inf would NaN-poison geometry gradients).
+    cos2t_safe = jnp.where(tir, 1.0, cos2t)
+    kk = jnp.where(into, 1.0, -1.0) * (ddn * nnt + jnp.sqrt(cos2t_safe))
     tdir = nnt[:, None] * d - kk[:, None] * n
     tdir = tdir * (1.0 / jnp.sqrt(
         jnp.maximum(jnp.sum(tdir * tdir, axis=-1, keepdims=True), 1e-38)

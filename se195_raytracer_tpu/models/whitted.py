@@ -71,7 +71,8 @@ def _prim_tests(scene: WhittedScene, o: jnp.ndarray, d: jnp.ndarray):
     b = -jnp.sum(v * d[:, None, :], axis=-1)
     det = b * b - jnp.sum(v * v, axis=-1) + scene.sq_radius[None, :]
     svalid = det > 0.0
-    sq = jnp.sqrt(jnp.where(svalid, det, 0.0))
+    # Safe value 1.0 on miss lanes: sqrt'(0)=inf NaN-poisons backward.
+    sq = jnp.sqrt(jnp.where(svalid, det, 1.0))
     i1 = b - sq
     i2 = b + sq
     svalid = svalid & (i2 > 0.0)
@@ -339,8 +340,9 @@ def whitted_trace(
             n2 = n_hit * result.astype(jnp.float32)[:, None]
             cos_i = -_dot(n2, node_d)
             cos_t2 = 1.0 - n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+            cos_t2_safe = jnp.where(cos_t2 > 0.0, cos_t2, 1.0)
             tdir = n_ratio[:, None] * node_d + (
-                n_ratio * cos_i - jnp.sqrt(jnp.maximum(cos_t2, 0.0))
+                n_ratio * cos_i - jnp.sqrt(cos_t2_safe)
             )[:, None] * n2
             to = point + tdir * jnp.float32(W_EPSILON)
             # Beer's law (raytracer_kernel.cl:370).

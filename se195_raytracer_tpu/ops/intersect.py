@@ -44,7 +44,9 @@ def sphere_intersect(
     b = jnp.sum(op * direction[:, None, :], axis=-1)  # [R, N]
     det = b * b - jnp.sum(op * op, axis=-1) + (scene.radius * scene.radius)[None, :]
     hit_mask = det >= 0.0
-    sq = jnp.sqrt(jnp.where(hit_mask, det, 0.0))
+    # Safe value 1.0 (not 0.0) on miss lanes: sqrt'(0) = inf would turn the
+    # zero cotangent of unselected lanes into NaN in the backward pass.
+    sq = jnp.sqrt(jnp.where(hit_mask, det, 1.0))
     t1 = b - sq
     t2 = b + sq
     eps = jnp.float32(EPSILON)

@@ -1,0 +1,153 @@
+"""Differentiability: pixel gradients vs central finite differences — the
+north-star gradient metric (BASELINE.json: "pixel-grad max-err vs finite
+diff"). Scope per SURVEY.md §7 hard part 2: exact gradients on
+pixel-interior (smooth) paths; silhouette/visibility discontinuities are
+step functions and excluded by construction of the test cases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se195_raytracer_tpu.core.config import RenderConfig
+from se195_raytracer_tpu.driver.optimize import (
+    l2_image_loss,
+    render_differentiable,
+    run_inverse_rendering,
+)
+from se195_raytracer_tpu.scenes.registry import get_scene
+
+CFG = RenderConfig(width=32, height=32, spp=2, seed=3)
+
+
+def _spec():
+    return get_scene("simple")
+
+
+def _fd(fn, x, idx, eps):
+    x_np = np.asarray(x)
+    xp = x_np.copy()
+    xp[idx] += eps
+    xm = x_np.copy()
+    xm[idx] -= eps
+    return (float(fn(jnp.asarray(xp))) - float(fn(jnp.asarray(xm)))) / (2 * eps)
+
+
+def test_color_gradient_matches_fd():
+    spec = _spec()
+    scene, cam = spec.to_scene(), spec.to_camera()
+
+    def loss(c):
+        return jnp.mean(render_differentiable(scene.replace(color=c), cam, CFG))
+
+    g = np.asarray(jax.grad(loss)(scene.color))
+    for idx in [(1, 0), (2, 1), (0, 1)]:
+        fd = _fd(loss, scene.color, idx, 1e-3)
+        assert abs(g[idx] - fd) <= 0.02 * abs(fd) + 1e-6, (idx, g[idx], fd)
+
+
+def test_emission_gradient_matches_fd_for_lights():
+    """Gradients w.r.t. an *existing* light's emission are near-linear and
+    must match FD tightly. (Perturbing a zero-emission sphere crosses the
+    structural is-light boundary — the reference's viszero classification —
+    so FD there is intentionally out of scope.)"""
+    spec = _spec()
+    scene, cam = spec.to_scene(), spec.to_camera()
+
+    def loss(e):
+        return jnp.mean(render_differentiable(scene.replace(emission=e), cam, CFG))
+
+    g = np.asarray(jax.grad(loss)(scene.emission))
+    li = scene.light_indices[0]
+    for k in range(3):
+        fd = _fd(loss, scene.emission, (li, k), 1e-2)
+        assert abs(g[li, k] - fd) <= 0.02 * abs(fd) + 1e-7, (k, g[li, k], fd)
+
+
+def test_center_gradient_matches_fd_small_spheres():
+    """Geometry gradients on the small diffuse spheres (1, 2, 3) — interior
+    shading dominates, FD agrees within a few percent. Sphere 0 (the giant
+    ground sphere) is silhouette-dominated and excluded."""
+    spec = _spec()
+    scene, cam = spec.to_scene(), spec.to_camera()
+
+    def loss(p):
+        return jnp.mean(render_differentiable(scene.replace(center=p), cam, CFG))
+
+    g = np.asarray(jax.grad(loss)(scene.center))
+    assert np.isfinite(g).all(), "NaN/inf in geometry gradient"
+    checks = [((1, 0), 1e-2), ((2, 1), 1e-2)]
+    for idx, eps in checks:
+        fd = _fd(loss, scene.center, idx, eps)
+        assert abs(g[idx] - fd) <= 0.15 * abs(fd) + 2e-5, (idx, g[idx], fd)
+
+
+def test_camera_gradient_finite():
+    """Camera pose gradients are finite and flow through the derived basis
+    (silhouette motion makes FD unreliable for whole-image camera moves,
+    so this checks plumbing, not FD agreement)."""
+    spec = _spec()
+    scene, cam = spec.to_scene(), spec.to_camera()
+
+    def loss(o):
+        return jnp.mean(render_differentiable(scene, cam.replace(orig=o), CFG))
+
+    g = np.asarray(jax.grad(loss)(cam.orig))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+
+def test_refr_scene_gradients_finite():
+    """Full specular/refractive scene: gradients must stay finite (TIR and
+    miss lanes exercise the guarded sqrt paths)."""
+    spec = get_scene("caustic3")
+    scene, cam = spec.to_scene(), spec.to_camera()
+
+    def loss(p):
+        return jnp.mean(render_differentiable(scene.replace(center=p), cam, CFG))
+
+    g = np.asarray(jax.grad(loss)(scene.center))
+    assert np.isfinite(g).all()
+
+
+def test_remat_matches_no_remat():
+    """Per-bounce checkpointing must not change forward values."""
+    from se195_raytracer_tpu.core.rng import init_mwc_state
+    from se195_raytracer_tpu.models.smallpt import radiance
+
+    spec = _spec()
+    scene = spec.to_scene()
+    o = jnp.tile(jnp.array([[20.0, 80.0, 300.0]]), (8, 1))
+    d = jnp.tile(jnp.array([[0.0, -0.2, -1.0]]), (8, 1))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    st = init_mwc_state((8,), 1)
+    r1, _ = radiance(scene, o, d, st, remat=False)
+    r2, _ = radiance(scene, o, d, st, remat=True)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+@pytest.mark.slow
+def test_inverse_rendering_recovers_color():
+    """BASELINE config #4 scaled down: perturb a sphere's albedo, recover
+    it from the target image by gradient descent."""
+    spec = _spec()
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=24, height=24, spp=2, seed=7)
+    target = render_differentiable(scene, cam, cfg)
+
+    perturbed = scene.replace(color=scene.color.at[1].set(jnp.array([0.2, 0.6, 0.6])))
+    loss0 = float(l2_image_loss(perturbed, cam, target, cfg))
+    st = run_inverse_rendering(
+        perturbed,
+        cam,
+        target,
+        cfg,
+        steps=60,
+        learning_rate=5e-2,
+        param_filter=lambda n: n == "color",
+    )
+    loss1 = float(st.loss)
+    assert loss1 < loss0 * 0.05, (loss0, loss1)
+    np.testing.assert_allclose(
+        np.asarray(st.scene.color[1]), np.asarray(scene.color[1]), atol=0.08
+    )

@@ -1,0 +1,108 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY.md
+§4: the reference is single-device — devices[0] only — so these tests
+cover what it never had: shard-invariant rendering and psum'd scene
+gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se195_raytracer_tpu.core.config import RenderConfig
+from se195_raytracer_tpu.core.rng import init_mwc_state
+from se195_raytracer_tpu.driver.render import (
+    init_render_state,
+    render,
+    render_steps,
+    RenderState,
+)
+from se195_raytracer_tpu.parallel.mesh import (
+    make_mesh,
+    ray_sharding,
+    replicate,
+    replicated,
+)
+from se195_raytracer_tpu.scenes.registry import get_scene
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(n_devices=8)
+
+
+def test_sharded_render_bitwise_equals_single_device(mesh):
+    """Sharding the pixel axis over 8 devices must not change a single bit
+    of the output (RNG is keyed per-pixel, forward needs no collectives)."""
+    spec = get_scene("cornell")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=32, height=16, spp=2, seed=6)
+
+    img_single, _ = render(scene, cam, cfg)
+
+    state = init_render_state(cfg)
+    sh = ray_sharding(mesh)
+    state_sharded = RenderState(
+        accum=jax.device_put(state.accum, sh),
+        s0=jax.device_put(state.s0, sh),
+        s1=jax.device_put(state.s1, sh),
+        sample=jax.device_put(state.sample, replicated(mesh)),
+    )
+    scene_r = replicate(scene, mesh)
+    cam_r = replicate(cam, mesh)
+    out = render_steps(scene_r, cam_r, state_sharded, cfg, cfg.spp)
+    img_sharded = np.asarray(out.accum).reshape(cfg.height, cfg.width, 3)
+
+    np.testing.assert_array_equal(np.asarray(img_single), img_sharded)
+
+
+def test_sharded_accum_stays_sharded(mesh):
+    """The progressive accumulator must remain sharded across steps (no
+    silent full replication = the on-device-resident buffer design)."""
+    spec = get_scene("simple")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=32, height=16, spp=1, seed=0)
+    state = init_render_state(cfg)
+    sh = ray_sharding(mesh)
+    state = RenderState(
+        accum=jax.device_put(state.accum, sh),
+        s0=jax.device_put(state.s0, sh),
+        s1=jax.device_put(state.s1, sh),
+        sample=jax.device_put(state.sample, replicated(mesh)),
+    )
+    out = render_steps(
+        replicate(scene, mesh), replicate(cam, mesh), state, cfg, 1
+    )
+    assert not out.accum.sharding.is_fully_replicated
+    assert len(out.accum.sharding.device_set) == 8
+
+
+def test_scene_gradient_psum_across_shards(mesh):
+    """Scene-parameter gradients from a sharded loss must equal the
+    single-device gradients (XLA inserts the psum because the scene is
+    replicated while pixels are sharded)."""
+    from se195_raytracer_tpu.driver.optimize import l2_image_loss
+
+    spec = get_scene("simple")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=16, height=16, spp=1, seed=2, max_depth=3)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    grad_fn = jax.jit(
+        jax.grad(lambda s: l2_image_loss(s, cam, target, cfg), allow_int=True)
+    )
+    g_single = grad_fn(scene)
+
+    scene_r = replicate(scene, mesh)
+    tgt_sh = jax.device_put(
+        target.reshape(-1, 3), ray_sharding(mesh)
+    ).reshape(cfg.height, cfg.width, 3)
+    grad_fn_sh = jax.jit(
+        jax.grad(lambda s: l2_image_loss(s, cam, tgt_sh, cfg), allow_int=True)
+    )
+    g_sharded = grad_fn_sh(scene_r)
+
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
