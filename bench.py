@@ -37,7 +37,7 @@ def main():
     spec = get_scene("cornell")
     scene = spec.to_scene()
     camera = spec.to_camera()
-    cfg = RenderConfig(width=512, height=512, spp=8, seed=0)
+    cfg = RenderConfig(width=512, height=512, spp=8, seed=0, use_pallas=True)
 
     # Warm-up / compile.
     img, state = render(scene, camera, cfg)

@@ -32,6 +32,11 @@ def _add_render_args(p: argparse.ArgumentParser):
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ray-tile", type=int, default=None)
+    p.add_argument(
+        "--pallas",
+        action="store_true",
+        help="use the fused Pallas TPU kernel (fast path)",
+    )
 
 
 def _load_scene(name: str):
@@ -66,6 +71,7 @@ def cmd_render(args) -> int:
         integrator=args.integrator if args.integrator in ("pt", "dl") else "pt",
         seed=args.seed,
         ray_tile=args.ray_tile,
+        use_pallas=args.pallas,
     )
     t0 = time.perf_counter()
     if args.integrator == "whitted":
@@ -108,6 +114,7 @@ def cmd_bench(args) -> int:
         integrator="dl" if args.integrator == "dl" else "pt",
         seed=args.seed,
         ray_tile=args.ray_tile,
+        use_pallas=args.pallas,
     )
     scene, camera = spec.to_scene(), spec.to_camera()
     img, state = render(scene, camera, cfg)

@@ -142,14 +142,23 @@ def render(
     scene: Scene,
     camera: Camera,
     config: RenderConfig,
-    state: Optional[RenderState] = None,
-) -> Tuple[jnp.ndarray, RenderState]:
+    state=None,
+):
     """Render ``config.spp`` samples; returns ([H, W, 3] radiance, state).
 
     Pass the returned state back in to continue accumulating (progressive
     preview / checkpoint-resume, reference ReInit semantics:
-    smallptCPU.cpp:139-166).
+    smallptCPU.cpp:139-166). With ``config.use_pallas`` the fused Pallas
+    kernel path is used (kernels/pt_kernel.py — ~100x faster on TPU); its
+    resumable state is opaque but interchangeable in this API.
     """
+    if config.use_pallas and scene.num_spheres <= 96:
+        # The fused kernel unrolls the sphere loop; beyond ~96 spheres the
+        # unroll bloats compile time, so large scenes (e.g. complex, 783)
+        # stay on the XLA path until the chunked-kernel variant lands.
+        from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
+
+        return render_pallas(scene, camera, config, state=state)
     if state is None:
         state = init_render_state(config)
     state = render_steps(scene, camera, state, config, config.spp)

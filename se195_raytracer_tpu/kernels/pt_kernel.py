@@ -1,0 +1,493 @@
+"""Pallas fused path-tracing kernel — the TPU fast path.
+
+The pure-jnp integrator (models/smallpt.py) is HBM-bound: every bounce
+materializes [R, N] and [R, 3] temporaries. This kernel is the analogue of
+the reference's device kernel (rendering_kernel.cl RadianceGPU:53-97) done
+TPU-style: one ``pallas_call`` per progressive pass, rays tiled
+``[sublanes, 128]`` in VMEM, the scene resident on-chip (the
+``async_work_group_copy``-to-local-memory trick of raytracer_kernel.cl:
+254-258, except VMEM), the whole camera-gen + 7-bounce loop + running-mean
+accumulation fused with zero HBM round-trips per bounce.
+
+Layout choices:
+* Ray state is struct-of-vectors: separate [T1, 128] f32 registers per
+  component (ox, oy, oz, ...), never a minor-dim-3 array.
+* The sphere loop is unrolled over the *static* scene size with scalar
+  reads from the VMEM scene table — right for the reference's scene sizes
+  (5..783; beyond ~1k spheres a vectorized-over-lanes variant would win).
+* Intersection iterates spheres N-1..0 with strict ``<`` so equal
+  distances resolve to the larger index, exactly like Intersect
+  (geomfunc.h:82-89).
+* RNG is the reference MWC (simplernd.h:34-48) on uint32 vectors with
+  masked advancement — the Pallas output is sample-for-sample identical
+  to the jnp path (and therefore to the scalar oracle).
+
+Scene table layout (packed by ``pack_scene``): rows are
+[cx, cy, cz, rad, ex, ey, ez, colr, colg, colb, refl] — one column per
+sphere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from se195_raytracer_tpu.core.types import EPSILON, Scene
+
+LANES = 128
+DEF_SUBLANES = 16  # 16 x 128 = 2048 rays per tile
+
+
+def pack_scene(scene: Scene) -> jnp.ndarray:
+    """[11, N] float32 scene table (refl stored as float)."""
+    return jnp.concatenate(
+        [
+            scene.center.T,
+            scene.radius[None, :],
+            scene.emission.T,
+            scene.color.T,
+            scene.refl.astype(jnp.float32)[None, :],
+        ],
+        axis=0,
+    )
+
+
+def pack_camera(basis) -> jnp.ndarray:
+    """[1, 12] float32: orig, dir, x, y."""
+    return jnp.concatenate([basis.orig, basis.dir, basis.x, basis.y]).reshape(1, 12)
+
+
+def _mwc_next(s0, s1):
+    c16 = jnp.uint32(0xFFFF)
+    s0 = jnp.uint32(36969) * (s0 & c16) + (s0 >> 16)
+    s1 = jnp.uint32(18000) * (s1 & c16) + (s1 >> 16)
+    ires = (s0 << 16) + s1
+    bits = (ires & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x40000000)
+    f = pltpu.bitcast(bits, jnp.float32)
+    return (f - 2.0) * 0.5, s0, s1
+
+
+def _mwc_masked(s0, s1, mask):
+    v, n0, n1 = _mwc_next(s0, s1)
+    return v, jnp.where(mask, n0, s0), jnp.where(mask, n1, s1)
+
+
+def _norm3(x, y, z):
+    inv = 1.0 / jnp.sqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _make_kernel(
+    n_spheres: int,
+    light_indices: Tuple[int, ...],
+    emissive_flags: Tuple[bool, ...],
+    width: int,
+    height: int,
+    max_depth: int,
+    direct_only: bool,
+    sublanes: int,
+):
+    """Build the kernel body for a static scene *structure* (size, light
+    set, per-sphere emissive classification — the reference's viszero
+    test, vec.h:44) while all scene *values* stay runtime inputs."""
+
+    tile = sublanes * LANES
+    eps = float(np.float32(EPSILON))  # python scalar: jnp consts can't be closure-captured by kernels
+
+    def kernel(samp_ref, scene_ref, cam_ref, s0_ref, s1_ref, acc_ref,
+               s0_out, s1_out, acc_out):
+        shape = (sublanes, LANES)
+        g = pl.program_id(0)
+
+        def sc(f, j):
+            return scene_ref[f, j]
+
+        # Pixel coordinates (reference gid -> (x, y), rendering_kernel.cl:60-63
+        # with the framebuffer v-flip folded in: row r maps to camera
+        # y = height-1-r; see driver/render.py).
+        lin = (
+            g * tile
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        )
+        px = lin % width
+        prow = lin // width
+        py = (height - 1) - prow
+
+        s0 = s0_ref[:]
+        s1 = s1_ref[:]
+
+        # --- GenerateCameraRay (rendering_kernel.cl:29-51): 2 draws ---
+        r1, s0, s1 = _mwc_next(s0, s1)
+        r2, s0, s1 = _mwc_next(s0, s1)
+        kcx = (px.astype(jnp.float32) + (r1 - 0.5)) * (1.0 / width) - 0.5
+        kcy = (py.astype(jnp.float32) + (r2 - 0.5)) * (1.0 / height) - 0.5
+        co = [cam_ref[0, i] for i in range(12)]
+        rdx = co[6] * kcx + co[9] * kcy + co[3]
+        rdy = co[7] * kcx + co[10] * kcy + co[4]
+        rdz = co[8] * kcx + co[11] * kcy + co[5]
+        ox = 0.1 * rdx + co[0]
+        oy = 0.1 * rdy + co[1]
+        oz = 0.1 * rdz + co[2]
+        dx, dy, dz = _norm3(rdx, rdy, rdz)
+
+        zero = jnp.zeros(shape, jnp.float32)
+        one = jnp.ones(shape, jnp.float32)
+        rad_r, rad_g, rad_b = zero, zero, zero
+        thr_r, thr_g, thr_b = one, one, one
+        # Flags are f32 0/1 indicators: Mosaic has no i1 vector materialization.
+        alive_f = one
+        spec_f = one
+
+        def nearest(ox, oy, oz, dx, dy, dz):
+            t_best = jnp.full(shape, 1e20, jnp.float32)
+            hid = jnp.zeros(shape, jnp.int32)
+            # N-1 .. 0 with strict < : larger index wins ties (geomfunc.h:82-89).
+            for j in range(n_spheres - 1, -1, -1):
+                opx = sc(0, j) - ox
+                opy = sc(1, j) - oy
+                opz = sc(2, j) - oz
+                b = opx * dx + opy * dy + opz * dz
+                det = b * b - (opx * opx + opy * opy + opz * opz) + sc(3, j) * sc(3, j)
+                hit = det >= 0.0
+                sq = jnp.sqrt(jnp.where(hit, det, 1.0))
+                t1 = b - sq
+                t2 = b + sq
+                tj = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
+                tj = jnp.where(hit, tj, 0.0)
+                better = (tj != 0.0) & (tj < t_best)
+                t_best = jnp.where(better, tj, t_best)
+                hid = jnp.where(better, j, hid)
+            return t_best, hid, t_best < 1e20
+
+        def any_hit(ox, oy, oz, dx, dy, dz, maxt):
+            occ = zero
+            for j in range(n_spheres - 1, -1, -1):
+                opx = sc(0, j) - ox
+                opy = sc(1, j) - oy
+                opz = sc(2, j) - oz
+                b = opx * dx + opy * dy + opz * dz
+                det = b * b - (opx * opx + opy * opy + opz * opz) + sc(3, j) * sc(3, j)
+                hit = det >= 0.0
+                sq = jnp.sqrt(jnp.where(hit, det, 1.0))
+                t1 = b - sq
+                t2 = b + sq
+                tj = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
+                tj = jnp.where(hit, tj, 0.0)
+                occ = jnp.where((tj != 0.0) & (tj < maxt), 1.0, occ)
+            return occ > 0.5
+
+        def gather(f, hid):
+            out = jnp.zeros(shape, jnp.float32)
+            for j in range(n_spheres):
+                out = jnp.where(hid == j, sc(f, j), out)
+            return out
+
+        # --- bounce loop (geomfunc.h:182-336), unrolled max_depth times ---
+        for _depth in range(max_depth):
+            t, hid, hit = nearest(ox, oy, oz, dx, dy, dz)
+            act = (alive_f > 0.5) & hit
+            t_safe = jnp.where(hit, t, 1.0)
+            hx = ox + t_safe * dx
+            hy = oy + t_safe * dy
+            hz = oz + t_safe * dz
+            ccx = gather(0, hid)
+            ccy = gather(1, hid)
+            ccz = gather(2, hid)
+            nx0, ny0, nz0 = hx - ccx, hy - ccy, hz - ccz
+            inv = 1.0 / jnp.sqrt(
+                jnp.maximum(nx0 * nx0 + ny0 * ny0 + nz0 * nz0, 1e-38)
+            )
+            nx, ny, nz = nx0 * inv, ny0 * inv, nz0 * inv
+            dp = nx * dx + ny * dy + nz * dz
+            sgn = jnp.where(dp > 0.0, -1.0, 1.0)  # -sign(dp), sign(0)=-1
+            nlx, nly, nlz = sgn * nx, sgn * ny, sgn * nz
+
+            ex = gather(4, hid)
+            ey = gather(5, hid)
+            ez = gather(6, hid)
+            cr = gather(7, hid)
+            cg = gather(8, hid)
+            cb = gather(9, hid)
+            mat = gather(10, hid)
+
+            # Per-sphere emissive classification is *structural*
+            # (vec.h:44 viszero incl. its y-bug) — bake a lane mask.
+            emissive_f = zero
+            for j, is_em in enumerate(emissive_flags):
+                if is_em:
+                    emissive_f = jnp.where(hid == j, 1.0, emissive_f)
+            emissive = emissive_f > 0.5
+
+            hit_light = act & emissive
+            gate = hit_light & (spec_f > 0.5)
+            adp = jnp.abs(dp)
+            rad_r = rad_r + jnp.where(gate, adp * thr_r * ex, 0.0)
+            rad_g = rad_g + jnp.where(gate, adp * thr_g * ey, 0.0)
+            rad_b = rad_b + jnp.where(gate, adp * thr_b * ez, 0.0)
+
+            live = act & ~emissive
+            is_diff = live & (mat == 0.0)
+            is_spec = live & (mat == 1.0)
+            is_refr = live & (mat != 0.0) & (mat != 1.0)
+
+            tcr, tcg, tcb = thr_r * cr, thr_g * cg, thr_b * cb
+
+            # --- SampleLights (geomfunc.h:112-165) ---
+            ld_r, ld_g, ld_b = zero, zero, zero
+            for li in light_indices:
+                u1, s0, s1 = _mwc_masked(s0, s1, is_diff)
+                u2, s0, s1 = _mwc_masked(s0, s1, is_diff)
+                zz = 1.0 - 2.0 * u1
+                rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
+                phi = jnp.float32(2.0 * np.pi) * u2
+                ux = rr * jnp.cos(phi)
+                uy = rr * jnp.sin(phi)
+                uz = zz
+                lrad = sc(3, li)
+                spx = lrad * ux + sc(0, li) - hx
+                spy = lrad * uy + sc(1, li) - hy
+                spz = lrad * uz + sc(2, li) - hz
+                ln = jnp.sqrt(spx * spx + spy * spy + spz * spz)
+                ln_s = jnp.maximum(ln, 1e-20)
+                sdx, sdy, sdz = spx / ln_s, spy / ln_s, spz / ln_s
+                wo = sdx * ux + sdy * uy + sdz * uz
+                wi = sdx * nlx + sdy * nly + sdz * nlz
+                occ = any_hit(hx, hy, hz, sdx, sdy, sdz, ln - eps)
+                s_fac = (
+                    jnp.float32(4.0 * np.pi)
+                    * lrad
+                    * lrad
+                    * wi
+                    * (-wo)
+                    / (ln_s * ln_s)
+                )
+                ok = (wo <= 0.0) & (wi > 0.0) & ~occ & is_diff
+                s_fac = jnp.where(ok, s_fac, 0.0)
+                ld_r = ld_r + s_fac * sc(4, li)
+                ld_g = ld_g + s_fac * sc(5, li)
+                ld_b = ld_b + s_fac * sc(6, li)
+
+            rad_r = rad_r + jnp.where(is_diff, tcr * ld_r, 0.0)
+            rad_g = rad_g + jnp.where(is_diff, tcg * ld_g, 0.0)
+            rad_b = rad_b + jnp.where(is_diff, tcb * ld_b, 0.0)
+
+            # --- diffuse bounce direction (geomfunc.h:242-265) ---
+            if not direct_only:
+                r1u, s0, s1 = _mwc_masked(s0, s1, is_diff)
+                r2u, s0, s1 = _mwc_masked(s0, s1, is_diff)
+                ang = jnp.float32(2.0 * np.pi) * r1u
+                r2s = jnp.sqrt(r2u)
+                big_x = jnp.abs(nlx) > 0.1
+                ax = jnp.where(big_x, 0.0, 1.0)
+                ay = jnp.where(big_x, 1.0, 0.0)
+                # u = norm(a x w); v = w x u
+                ux0 = ay * nlz
+                uy0 = -ax * nlz
+                uz0 = ax * nly - ay * nlx
+                ux1, uy1, uz1 = _norm3(ux0, uy0, uz0)
+                vx = nly * uz1 - nlz * uy1
+                vy = nlz * ux1 - nlx * uz1
+                vz = nlx * uy1 - nly * ux1
+                ca, sa = jnp.cos(ang) * r2s, jnp.sin(ang) * r2s
+                wsc = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2u))
+                ndx = ux1 * ca + vx * sa + nlx * wsc
+                ndy = uy1 * ca + vy * sa + nly * wsc
+                ndz = uz1 * ca + vz * sa + nlz * wsc
+            else:
+                ndx, ndy, ndz = dx, dy, dz
+
+            # --- SPEC reflect (geomfunc.h:270-280) ---
+            k2dp = 2.0 * dp
+            rfx = dx - k2dp * nx
+            rfy = dy - k2dp * ny
+            rfz = dz - k2dp * nz
+
+            # --- REFR (geomfunc.h:281-336) ---
+            into = (nx * nlx + ny * nly + nz * nlz) > 0.0
+            nnt = jnp.where(into, jnp.float32(1.0 / 1.5), jnp.float32(1.5))
+            ddn = dx * nlx + dy * nly + dz * nlz
+            cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+            tir = cos2t < 0.0
+            kk = jnp.where(into, 1.0, -1.0) * (
+                ddn * nnt + jnp.sqrt(jnp.where(tir, 1.0, cos2t))
+            )
+            tdx0 = nnt * dx - kk * nx
+            tdy0 = nnt * dy - kk * ny
+            tdz0 = nnt * dz - kk * nz
+            tinv = 1.0 / jnp.sqrt(
+                jnp.maximum(tdx0 * tdx0 + tdy0 * tdy0 + tdz0 * tdz0, 1e-38)
+            )
+            tdx, tdy, tdz = tdx0 * tinv, tdy0 * tinv, tdz0 * tinv
+            r0 = jnp.float32(0.25 / 6.25)
+            c1 = 1.0 - jnp.where(into, -ddn, tdx * nx + tdy * ny + tdz * nz)
+            re = r0 + (1.0 - r0) * c1 * c1 * c1 * c1 * c1
+            pp = 0.25 + 0.5 * re
+            rp = re / pp
+            tp = (1.0 - re) / (1.0 - pp)
+            u_rr, s0, s1 = _mwc_masked(s0, s1, is_refr & ~tir)
+            pick_refl = u_rr < pp
+            refr_refl = is_refr & (tir | pick_refl)
+            refr_trans = is_refr & ~tir & ~pick_refl
+
+            plain = is_diff | is_spec | (is_refr & tir)
+            scale = jnp.where(
+                plain, 1.0, jnp.where(refr_trans, tp, jnp.where(is_refr, rp, 1.0))
+            )
+            n_thr_r = jnp.where(live, scale * tcr, thr_r)
+            n_thr_g = jnp.where(live, scale * tcg, thr_g)
+            n_thr_b = jnp.where(live, scale * tcb, thr_b)
+
+            take_refl = is_spec | refr_refl
+            ndx = jnp.where(take_refl, rfx, jnp.where(refr_trans, tdx, ndx))
+            ndy = jnp.where(take_refl, rfy, jnp.where(refr_trans, tdy, ndy))
+            ndz = jnp.where(take_refl, rfz, jnp.where(refr_trans, tdz, ndz))
+
+            ox = jnp.where(live, hx, ox)
+            oy = jnp.where(live, hy, oy)
+            oz = jnp.where(live, hz, oz)
+            dx = jnp.where(live, ndx, dx)
+            dy = jnp.where(live, ndy, dy)
+            dz = jnp.where(live, ndz, dz)
+            thr_r, thr_g, thr_b = n_thr_r, n_thr_g, n_thr_b
+            spec_f = jnp.where(is_diff, 0.0, jnp.where(is_spec | is_refr, 1.0, spec_f))
+            if direct_only:
+                alive_f = jnp.where(live & ~is_diff, 1.0, 0.0)
+            else:
+                alive_f = jnp.where(live, 1.0, 0.0)
+
+        # --- running-mean accumulate (rendering_kernel.cl:80-89) ---
+        samp = samp_ref[0, 0].astype(jnp.float32)
+        k2 = 1.0 / (samp + 1.0)
+        acc_out[0] = (acc_ref[0] * samp + rad_r) * k2
+        acc_out[1] = (acc_ref[1] * samp + rad_g) * k2
+        acc_out[2] = (acc_ref[2] * samp + rad_b) * k2
+        s0_out[:] = s0
+        s1_out[:] = s1
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_depth", "direct_only", "sublanes",
+        "light_indices", "emissive_flags", "interpret",
+    ),
+)
+def pt_sample_pass(
+    scene_tab: jnp.ndarray,  # [11, N]
+    cam_tab: jnp.ndarray,  # [1, 12]
+    sample_idx: jnp.ndarray,  # scalar int32
+    s0: jnp.ndarray,  # [Rp] uint32 (padded to tile multiple)
+    s1: jnp.ndarray,
+    acc: jnp.ndarray,  # [3, Rp/128, 128] f32
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    direct_only: bool,
+    light_indices: Tuple[int, ...],
+    emissive_flags: Tuple[bool, ...],
+    sublanes: int = DEF_SUBLANES,
+    interpret: bool = False,
+):
+    """One fused progressive pass. Returns (s0, s1, acc) updated."""
+    n = scene_tab.shape[1]
+    rp = s0.shape[0]
+    tile = sublanes * LANES
+    assert rp % tile == 0, (rp, tile)
+    grid = rp // tile
+    rows = rp // LANES
+
+    kernel = _make_kernel(
+        n, light_indices, emissive_flags, width, height, max_depth,
+        direct_only, sublanes,
+    )
+    s2 = s0.reshape(rows, LANES)
+    s3 = s1.reshape(rows, LANES)
+
+    out_s0, out_s1, out_acc = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sample idx (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scene table
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # camera
+            pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, sublanes, LANES), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, sublanes, LANES), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
+        ],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        interpret=interpret,
+    )(
+        sample_idx.reshape(1, 1),
+        scene_tab,
+        cam_tab,
+        s2,
+        s3,
+        acc,
+    )
+    return out_s0.reshape(rp), out_s1.reshape(rp), out_acc
+
+
+def render_pallas(
+    scene: Scene,
+    camera,
+    config,
+    num_samples: int | None = None,
+    state: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int] | None = None,
+    interpret: bool = False,
+):
+    """Progressive Pallas render.
+
+    Returns (image [H, W, 3] float32, (s0, s1, acc, sample) state).
+    """
+    from se195_raytracer_tpu.core.rng import init_mwc_state
+    from se195_raytracer_tpu.core.types import update_camera
+
+    w, h = config.width, config.height
+    r = w * h
+    tile = DEF_SUBLANES * LANES
+    rp = ((r + tile - 1) // tile) * tile
+    spp = num_samples if num_samples is not None else config.spp
+
+    if state is None:
+        s0, s1 = init_mwc_state((rp,), config.seed)
+        acc = jnp.zeros((3, rp // LANES, LANES), jnp.float32)
+        start = 0
+    else:
+        s0, s1, acc, start = state
+
+    scene_tab = pack_scene(scene)
+    cam_tab = pack_camera(update_camera(camera, w, h))
+    emissive_flags = tuple(
+        bool(i in scene.light_indices) for i in range(scene.num_spheres)
+    )
+    for s in range(start, start + spp):
+        s0, s1, acc = pt_sample_pass(
+            scene_tab, cam_tab, jnp.int32(s), s0, s1, acc,
+            width=w, height=h, max_depth=config.max_depth,
+            direct_only=(config.integrator == "dl"),
+            light_indices=scene.light_indices,
+            emissive_flags=emissive_flags,
+            interpret=interpret,
+        )
+    img = acc.reshape(3, rp)[:, :r].T.reshape(h, w, 3)
+    return img, (s0, s1, acc, start + spp)

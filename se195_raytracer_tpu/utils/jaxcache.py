@@ -12,6 +12,11 @@ import os
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
+    """Opt-in only (SE195_JAX_CACHE=1): on the axon remote-compile TPU
+    backend the persistent cache has been observed to stall executable
+    deserialization, so it stays off unless explicitly requested."""
+    if os.environ.get("SE195_JAX_CACHE") != "1":
+        return
     import jax
 
     cache_dir = path or os.environ.get(

@@ -1,0 +1,46 @@
+"""Pallas fused-kernel parity (interpret mode on CPU): the fast path must
+agree with the jnp integrator up to float-reassociation noise — identical
+RNG streams, near-identical values, a small fraction of pixels allowed to
+flip discrete branch decisions (RR/TIR thresholds)."""
+
+import numpy as np
+import pytest
+
+from se195_raytracer_tpu.core.config import RenderConfig
+from se195_raytracer_tpu.driver.render import render
+from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
+from se195_raytracer_tpu.scenes.registry import get_scene
+
+
+@pytest.mark.parametrize(
+    "scene_name,integrator", [("cornell", "pt"), ("simple", "dl")]
+)
+def test_pallas_matches_jnp(scene_name, integrator):
+    spec = get_scene(scene_name)
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=64, height=32, spp=1, seed=4, integrator=integrator)
+    img_ref, st_ref = render(scene, cam, cfg)
+    img_pal, st_pal = render_pallas(scene, cam, cfg, interpret=True)
+    a, b = np.asarray(img_ref), np.asarray(img_pal)
+    close = np.isclose(a, b, rtol=2e-3, atol=2e-3)
+    frac = 1 - close.mean()
+    assert frac <= 0.03, f"{frac:.3%} components differ"
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
+    # RNG stream consumption must match except where a branch flipped.
+    r = cfg.width * cfg.height
+    s0_ref = np.asarray(st_ref.s0)
+    s0_pal = np.asarray(st_pal[0])[:r]
+    assert (s0_ref != s0_pal).mean() <= 0.01
+
+
+def test_pallas_progressive_resume():
+    spec = get_scene("cornell")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=32, height=16, spp=1, seed=9)
+    img_a, st = render_pallas(scene, cam, cfg, interpret=True)
+    img_a2, st = render_pallas(scene, cam, cfg, state=st, interpret=True)
+    cfg4 = RenderConfig(width=32, height=16, spp=2, seed=9)
+    img_b, _ = render_pallas(scene, cam, cfg4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(img_a2), np.asarray(img_b), rtol=1e-6, atol=1e-6
+    )
