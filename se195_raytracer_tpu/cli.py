@@ -26,9 +26,11 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--max-depth", type=int, default=7)
     p.add_argument(
         "--integrator",
-        choices=["pt", "dl", "whitted"],
+        choices=["pt", "dl", "whitted", "whitted5"],
         default="pt",
-        help="pt=RadiancePathTracing, dl=RadianceDirectLighting, whitted=ray-queue Whitted",
+        help="pt=RadiancePathTracing, dl=RadianceDirectLighting, "
+        "whitted=ray-queue Whitted (3.2.0x), whitted5=extended Whitted "
+        "(area lights/boxes/glossy/textures, raytracer5)",
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ray-tile", type=int, default=None)
@@ -81,6 +83,14 @@ def cmd_render(args) -> int:
         name = args.scene if args.scene in WHITTED_SCENES else "room"
         img = np.asarray(render_whitted(name, cfg))
         img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+    elif args.integrator == "whitted5":
+        from se195_raytracer_tpu.models.whitted5 import render_whitted5
+        from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
+
+        img = np.asarray(
+            render_whitted5(room5_scene(), width=args.width, height=args.height, spp=args.spp)
+        )
+        img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
     else:
         spec = _load_scene(args.scene)
         img, _ = render(spec.to_scene(), spec.to_camera(), cfg)

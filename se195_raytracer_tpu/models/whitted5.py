@@ -1,0 +1,562 @@
+"""Extended Whitted tracer — the raytracer5 feature set, TPU-native.
+
+Capabilities of raytracer5/trunk/raytracer.cpp Engine::Raytrace:228-363 /
+CalcShade:371-406 and scene.cpp primitives, re-expressed as a batched
+unrolled reflect/refract tree over masked ray lanes:
+
+* sphere / one-sided plane / axis-aligned box primitives
+  (Sphere::Intersect scene.cpp:128-159, PlanePrim::Intersect :232-244
+  — note the plane has NO dist>0 guard, faithfully kept — and the
+  Box slab test :306-350)
+* point lights (sphere) and box **area lights** with the 4x4 jittered
+  grid Monte-Carlo shadow estimator (CalcShade:371-406, grid table
+  Box::Light scene.cpp:376-404); shadow rays must reach the light
+  primitive itself (occluders include other lights)
+* glossy reflection (DiffuseRefl disc sampling, raytracer.cpp:290-319)
+  — the reference averages SAMPLES=4 in-node disc samples; here each
+  pass draws ONE stochastic disc sample (same estimator, the variance
+  folds into progressive passes), keeping the trace a binary tree
+* dielectric refraction with Beer's-law absorption where the
+  transparency uses the CHILD ray's travel distance
+  (raytracer.cpp:335-359) — unlike the 3.2.0x kernel which uses the
+  parent distance
+* bilinearly filtered textures with UV scaling: sphere polar mapping
+  (Sphere::GetColor scene.cpp:161-176), plane axis mapping
+  (PlanePrim::GetColor :263-277), texel fetch with the reference's
+  +1000.5/+1000.0 offsets and its width-for-height indexing quirk
+  (Texture::GetTexel :81-106)
+* the reference's position-independent Box::GetNormal (scene.cpp:352-374
+  computes its six candidate distances from box pos/size only — the hit
+  point is ignored; replicated exactly)
+* look-at camera matrix with the (0,0,-5) eye / 8x6 screen plane at z=0
+  (Engine::InitRender raytracer.cpp:413-451)
+* IMPORTANCE-style area-light sample scheduling: 4 shadow samples at the
+  primary level, halved per bounce (raytracer.cpp:312-331 a_Samples
+  scaling), as a static per-level count
+
+Not carried over: the regular-grid accelerator + ray-ID mailboxing
+(FindNearest raytracer.cpp:53-221) — brute-force [rays, prims] is the
+right shape on TPU for N <= ~1k; and the CPU-serial adaptive
+supersampling / 100ms time slicing (Render:481-535), replaced by uniform
+supersampling and progressive passes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se195_raytracer_tpu.core.rng import MWCState, mwc_next_masked
+from se195_raytracer_tpu.scenes.whitted5_scenes import (
+    BOX5,
+    BOX_LIGHT_GRID,
+    PLANE5,
+    SPHERE5,
+    Whitted5Scene,
+)
+
+EPSILON5 = 0.001  # raytracer5 common.h:27
+TRACEDEPTH5 = 4  # common.h:28
+PI = float(np.float32(np.pi))
+
+HIT, MISS, INPRIM = 1, 0, -1
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _prim_candidates(scene: Whitted5Scene, o: jnp.ndarray, d: jnp.ndarray):
+    """Per-primitive candidate hits, [R, N] each: (dist, code, valid).
+
+    code is HIT or INPRIM (spheres entered from inside). Semantics per
+    primitive class:
+    * sphere — scene.cpp:128-159 (det > 0 strict, i2 > 0, near root if
+      i1 >= 0 else far root as INPRIM)
+    * plane — scene.cpp:232-244: only faces with dot(N, d) < 0; NO
+      dist > 0 rejection (faithful)
+    * box — scene.cpp:306-350: six slab distances, point-in-box with
+      +-EPSILON slack, smallest positive candidate
+    """
+    r = o.shape[0]
+    n = scene.num_prims
+    type_arr = np.array(scene.ptype, np.int32)
+
+    # Spheres.
+    v = o[:, None, :] - scene.center[None, :, :]
+    sb = -jnp.sum(v * d[:, None, :], axis=-1)
+    det = sb * sb - jnp.sum(v * v, axis=-1) + (scene.radius * scene.radius)[None, :]
+    s_ok = det > 0.0
+    sq = jnp.sqrt(jnp.where(s_ok, det, 1.0))
+    i1 = sb - sq
+    i2 = sb + sq
+    s_ok = s_ok & (i2 > 0.0)
+    s_inprim = i1 < 0.0
+    s_dist = jnp.where(s_inprim, i2, i1)
+
+    # Planes (one-sided).
+    pd = jnp.einsum("nk,rk->rn", scene.normal, d)
+    p_ok = pd < 0.0
+    pd_safe = jnp.where(pd != 0.0, pd, 1.0)
+    p_dist = -(jnp.einsum("nk,rk->rn", scene.normal, o) + scene.depth[None, :]) / pd_safe
+
+    # Boxes: six slabs.
+    v1 = scene.box_pos  # [N, 3]
+    v2 = scene.box_pos + scene.box_size
+    d_exp = d[:, None, :]
+    o_exp = o[:, None, :]
+    d_safe = jnp.where(d_exp != 0.0, d_exp, 1.0)
+    t_lo = (v1[None] - o_exp) / d_safe  # [R, N, 3]
+    t_hi = (v2[None] - o_exp) / d_safe
+    cand = jnp.concatenate([t_lo, t_hi], axis=-1)  # [R, N, 6]
+    axis_ok = jnp.concatenate([d_exp != 0.0, d_exp != 0.0], axis=-1)
+    ip = o_exp[..., None, :] + cand[..., :, None] * d_exp[..., None, :]  # [R,N,6,3]
+    eps = jnp.float32(EPSILON5)
+    inside = jnp.all(
+        (ip > (v1[None, :, None, :] - eps)) & (ip < (v2[None, :, None, :] + eps)),
+        axis=-1,
+    )  # [R, N, 6]
+    face_ok = axis_ok & (cand > 0.0) & inside
+    cand_masked = jnp.where(face_ok, cand, jnp.float32(1e30))
+    b_dist = jnp.min(cand_masked, axis=-1)  # [R, N]
+    b_ok = jnp.any(face_ok, axis=-1)
+
+    is_sphere = jnp.asarray(type_arr == SPHERE5)[None, :]
+    is_plane = jnp.asarray(type_arr == PLANE5)[None, :]
+    dist = jnp.where(is_sphere, s_dist, jnp.where(is_plane, p_dist, b_dist))
+    valid = jnp.where(is_sphere, s_ok, jnp.where(is_plane, p_ok, b_ok))
+    code = jnp.where(
+        is_sphere & s_inprim,
+        jnp.int32(INPRIM),
+        jnp.int32(HIT),
+    )
+    return dist, code, valid
+
+
+def find_nearest(
+    scene: Whitted5Scene, o: jnp.ndarray, d: jnp.ndarray, max_dist: float = 1e6
+):
+    """FindNearest semantics (brute force): ascending primitive order,
+    strict improvement (raytracer.cpp:228-237 via per-class Intersect).
+
+    Returns (idx [R] int32, code [R], dist [R]); idx = -1 on miss.
+    """
+    dist, code, valid = _prim_candidates(scene, o, d)
+    n = scene.num_prims
+
+    def body(j, carry):
+        best, idx, res = carry
+        upd = valid[:, j] & (dist[:, j] < best)
+        best = jnp.where(upd, dist[:, j], best)
+        idx = jnp.where(upd, j, idx)
+        res = jnp.where(upd, code[:, j], res)
+        return best, idx, res
+
+    best0 = jnp.full((o.shape[0],), jnp.float32(max_dist))
+    idx0 = jnp.full((o.shape[0],), -1, jnp.int32)
+    res0 = jnp.full((o.shape[0],), MISS, jnp.int32)
+    best, idx, res = jax.lax.fori_loop(0, n, body, (best0, idx0, res0))
+    return idx, res, best
+
+
+def _nearest_is(
+    scene: Whitted5Scene, o, d, max_dist: jnp.ndarray, target: int
+) -> jnp.ndarray:
+    """True where the nearest primitive within max_dist is ``target`` —
+    the CalcShade visibility test (shadow rays must reach the light
+    itself, raytracer.cpp:379-384,396-401)."""
+    dist, code, valid = _prim_candidates(scene, o, d)
+    n = scene.num_prims
+
+    def body(j, carry):
+        best, idx = carry
+        upd = valid[:, j] & (dist[:, j] < best)
+        return jnp.where(upd, dist[:, j], best), jnp.where(upd, j, idx)
+
+    best0 = max_dist
+    idx0 = jnp.full((o.shape[0],), -1, jnp.int32)
+    _, idx = jax.lax.fori_loop(0, n, body, (best0, idx0))
+    return idx == target
+
+
+def _box_normal_static(scene: Whitted5Scene, j: int) -> jnp.ndarray:
+    """Box::GetNormal (scene.cpp:352-374), position-independent as in the
+    reference: six candidate 'distances' computed from pos/size only."""
+    pos = scene.box_pos[j]
+    size = scene.box_size[j]
+    cands = jnp.stack(
+        [
+            jnp.abs(size[0] - pos[0]),
+            jnp.abs(size[0] + size[0] - pos[0]),
+            jnp.abs(size[1] - pos[1]),
+            jnp.abs(size[1] + size[1] - pos[1]),
+            jnp.abs(size[2] - pos[2]),
+            jnp.abs(size[2] + size[2] - pos[2]),
+        ]
+    )
+    normals = jnp.array(
+        [
+            [-1.0, 0, 0], [1.0, 0, 0],
+            [0, -1.0, 0], [0, 1.0, 0],
+            [0, 0, -1.0], [0, 0, 1.0],
+        ],
+        jnp.float32,
+    )
+    return normals[jnp.argmin(cands)]
+
+
+def get_normal(scene: Whitted5Scene, idx: jnp.ndarray, point: jnp.ndarray):
+    """Per-lane normal by primitive class."""
+    n_sphere = (point - scene.center[idx]) * (
+        1.0 / jnp.where(scene.radius[idx] != 0.0, scene.radius[idx], 1.0)
+    )[:, None]
+    out = n_sphere
+    type_arr = np.array(scene.ptype)
+    for j in range(scene.num_prims):
+        if type_arr[j] == PLANE5:
+            out = jnp.where((idx == j)[:, None], scene.normal[j][None], out)
+        elif type_arr[j] == BOX5:
+            out = jnp.where(
+                (idx == j)[:, None], _box_normal_static(scene, j)[None], out
+            )
+    return out
+
+
+def _texel(bitmap: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Texture::GetTexel (scene.cpp:81-106), including the quirk that both
+    fu and fv are scaled by the texture *width*."""
+    th, tw = bitmap.shape[0], bitmap.shape[1]
+    fu = (u + 1000.5) * tw
+    fv = (v + 1000.0) * tw
+    u1 = jnp.floor(fu).astype(jnp.int32) % tw
+    v1 = jnp.floor(fv).astype(jnp.int32) % th
+    u2 = (u1 + 1) % tw
+    v2 = (v1 + 1) % th
+    fracu = fu - jnp.floor(fu)
+    fracv = fv - jnp.floor(fv)
+    w1 = (1 - fracu) * (1 - fracv)
+    w2 = fracu * (1 - fracv)
+    w3 = (1 - fracu) * fracv
+    w4 = fracu * fracv
+    c1 = bitmap[v1, u1]
+    c2 = bitmap[v1, u2]
+    c3 = bitmap[v2, u1]
+    c4 = bitmap[v2, u2]
+    return (
+        c1 * w1[:, None] + c2 * w2[:, None] + c3 * w3[:, None] + c4 * w4[:, None]
+    )
+
+
+def get_color(scene: Whitted5Scene, idx: jnp.ndarray, point: jnp.ndarray):
+    """Primitive::GetColor with texture modulation (Sphere::GetColor
+    scene.cpp:161-176, PlanePrim::GetColor :263-277)."""
+    base = scene.color[idx]
+    out = base
+    for j in range(scene.num_prims):
+        t = scene.tex_id[j]
+        if t < 0:
+            continue
+        bitmap = scene.textures[t]
+        us = scene.uv_scale[j]
+        if scene.ptype[j] == SPHERE5:
+            rr = 1.0 / jnp.where(scene.radius[j] != 0.0, scene.radius[j], 1.0)
+            vp = (point - scene.center[j][None]) * rr
+            # vn=(0,1,0), ve=(1,0,0), vc=vn x ve=(0,0,-1) (scene.cpp:117-120)
+            cosphi = jnp.clip(-vp[:, 1], -1.0, 1.0)
+            phi = jnp.arccos(cosphi)
+            sinphi = jnp.sqrt(jnp.maximum(1.0 - cosphi * cosphi, 1e-12))
+            vcoord = phi * (1.0 / us[1]) * (1.0 / PI)
+            costheta = jnp.clip(vp[:, 0] / sinphi, -1.0, 1.0)
+            theta = jnp.arccos(costheta) * (2.0 / PI)
+            ucoord = jnp.where(-vp[:, 2] >= 0.0, (1.0 - theta), theta) * (1.0 / us[0])
+            tex = _texel(bitmap, ucoord, vcoord)
+        else:  # plane mapping (boxes keep material color in the reference)
+            nrm = scene.normal[j]
+            uaxis = jnp.stack([nrm[1], nrm[2], -nrm[0]])
+            vaxis = jnp.cross(uaxis, nrm)
+            ucoord = _dot(point, uaxis[None]) * us[0]
+            vcoord = _dot(point, vaxis[None]) * us[1]
+            tex = _texel(bitmap, ucoord, vcoord)
+        out = jnp.where((idx == j)[:, None], tex * scene.color[j][None], out)
+    return out
+
+
+def calc_shade(
+    scene: Whitted5Scene,
+    light: int,
+    point: jnp.ndarray,
+    state: MWCState,
+    draw_mask: jnp.ndarray,
+    n_samples: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, MWCState]:
+    """CalcShade (raytracer.cpp:371-406): returns (shade [R], L [R,3],
+    new rng state). Point lights: binary visibility of the light sphere.
+    Area lights: ``n_samples`` jittered grid samples on the box's bottom
+    face, each weighted 1/n_samples."""
+    eps = jnp.float32(EPSILON5)
+    if scene.ptype[light] == SPHERE5:
+        ldir = scene.center[light][None] - point
+        tdist = jnp.sqrt(jnp.maximum(_dot(ldir, ldir), 1e-30))
+        ldir = ldir / tdist[:, None]
+        vis = _nearest_is(scene, point + ldir * eps, ldir, tdist, light)
+        return jnp.where(vis, 1.0, 0.0), ldir, state
+    # Box area light.
+    pos = scene.box_pos[light]
+    size = scene.box_size[light]
+    ldir = (pos + 0.5 * size)[None] - point
+    ldir = ldir * (1.0 / jnp.sqrt(jnp.maximum(_dot(ldir, ldir), 1e-30)))[:, None]
+    deltax = size[0] * 0.25
+    deltay = size[2] * 0.25
+    grid = jnp.asarray(BOX_LIGHT_GRID)  # [16, 2] cell units
+    shade = jnp.zeros(point.shape[0])
+    sscale = jnp.float32(1.0 / n_samples)
+    for i in range(n_samples):
+        u1, state = mwc_next_masked(state, draw_mask)
+        u2, state = mwc_next_masked(state, draw_mask)
+        gx = grid[i & 15, 0] * (size[0] / 4.0) + pos[0] + u1 * deltax
+        gz = grid[i & 15, 1] * (size[2] / 4.0) + pos[2] + u2 * deltay
+        lp = jnp.stack([gx, jnp.full_like(gx, pos[1]), gz], axis=-1)
+        sdir = lp - point
+        ldist = jnp.sqrt(jnp.maximum(_dot(sdir, sdir), 1e-30))
+        sdir = sdir / ldist[:, None]
+        vis = _nearest_is(scene, point + sdir * eps, sdir, ldist, light)
+        shade = shade + jnp.where(vis, sscale, 0.0)
+    return shade, ldir, state
+
+
+def _shade_node(
+    scene: Whitted5Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    state: MWCState,
+    draw_mask: jnp.ndarray,
+    area_samples: int,
+):
+    """One Raytrace node's local work (raytracer.cpp:239-285): nearest
+    hit, light-by-light diffuse + Phong-20 specular with CalcShade
+    visibility; lights hit directly return their color."""
+    idx, code, dist = find_nearest(scene, o, d)
+    hit = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    dist_safe = jnp.where(hit, dist, 1.0)
+    point = o + d * dist_safe[:, None]
+
+    is_light_arr = jnp.asarray(np.array(scene.is_light, bool))
+    hit_light = hit & is_light_arr[safe]
+
+    color = get_color(scene, safe, point)
+    n_hit = get_normal(scene, safe, point)
+    m_diff = scene.diff[safe]
+    m_spec = scene.spec[safe]
+
+    acc = jnp.zeros_like(o)
+    for li in range(scene.num_prims):
+        if not scene.is_light[li]:
+            continue
+        shade, ldir, state = calc_shade(
+            scene, li, point, state, draw_mask & hit & ~hit_light, area_samples
+        )
+        pos_shade = shade > 0.0
+        dnl = _dot(ldir, n_hit)
+        diff_term = jnp.where(
+            pos_shade & (m_diff > 0.0) & (dnl > 0.0),
+            dnl * m_diff * shade,
+            0.0,
+        )
+        acc = acc + diff_term[:, None] * color * scene.color[li][None]
+        rv = ldir - (2.0 * dnl)[:, None] * n_hit
+        dvr = _dot(d, rv)
+        spec_term = jnp.where(
+            pos_shade & (m_spec > 0.0) & (dvr > 0.0),
+            jnp.power(jnp.maximum(dvr, 0.0), jnp.float32(20.0)) * m_spec * shade,
+            0.0,
+        )
+        acc = acc + spec_term[:, None] * scene.color[li][None]
+
+    local = jnp.where(
+        hit_light[:, None],
+        scene.color[safe],
+        jnp.where(hit[:, None], acc, 0.0),
+    )
+    return idx, code, dist_safe, point, color, n_hit, local, state
+
+
+def whitted5_trace(
+    scene: Whitted5Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    state: MWCState,
+    trace_depth: int = TRACEDEPTH5,
+    area_samples_by_level: Tuple[int, ...] = (4, 2, 1, 1),
+) -> Tuple[jnp.ndarray, MWCState]:
+    """Batched recursive trace, unrolled as a binary tree of depth
+    ``trace_depth`` (depth starts at 1 as in RenderRay,
+    raytracer.cpp:457-474). Returns (accumulated color [R, 3], state)."""
+    eps = jnp.float32(EPSILON5)
+    acc_total = jnp.zeros_like(o)
+
+    def node(level, o, d, weight, beer, rindex, valid, state):
+        nonlocal acc_total
+        n_samp = area_samples_by_level[min(level, len(area_samples_by_level) - 1)]
+        idx, code, dist, point, color, n_hit, local, state = _shade_node(
+            scene, o, d, state, valid, n_samp
+        )
+        hit = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        # Beer's law completes at this node using our own travel distance
+        # (raytracer.cpp:353-356); beer == 0 means no absorption.
+        w_eff = weight * jnp.exp(beer * (-dist)[:, None])
+        acc_total = acc_total + jnp.where(
+            (valid & hit)[:, None], w_eff * local, 0.0
+        )
+        if level >= trace_depth:
+            return state
+
+        is_light_arr = jnp.asarray(np.array(scene.is_light, bool))
+        shaded = valid & hit & ~is_light_arr[safe]
+
+        # Reflection child (perfect or glossy; raytracer.cpp:287-335).
+        refl = scene.refl[safe]
+        drefl = scene.drefl[safe]
+        rdir = d - (2.0 * _dot(d, n_hit))[:, None] * n_hit
+        glossy_ok = shaded & (refl > 0.0) & (drefl > 0.0) & (level < 3)
+        # One stochastic disc sample per pass (estimator-equivalent to the
+        # reference's in-node average of SAMPLES=4 draws).
+        u1, state = mwc_next_masked(state, glossy_ok)
+        u2, state = mwc_next_masked(state, glossy_ok)
+        rad = drefl * jnp.sqrt(u1)
+        ang = jnp.float32(2.0 * PI) * u2
+        xoffs = rad * jnp.cos(ang)
+        yoffs = rad * jnp.sin(ang)
+        # RN1 = (R.z, R.y, -R.x); RN2 = R x RN1 (raytracer.cpp:296-298)
+        rn1 = jnp.stack([rdir[:, 2], rdir[:, 1], -rdir[:, 0]], axis=-1)
+        rn2 = jnp.cross(rdir, rn1)
+        gdir = rdir + rn1 * xoffs[:, None] + rn2 * (yoffs * drefl)[:, None]
+        gdir = gdir * (
+            1.0 / jnp.sqrt(jnp.maximum(_dot(gdir, gdir), 1e-30))
+        )[:, None]
+        child_dir = jnp.where(glossy_ok[:, None], gdir, rdir)
+        refl_ok = shaded & (refl > 0.0)
+        child_w = w_eff * refl[:, None] * color
+        state = node(
+            level + 1,
+            jnp.where(refl_ok[:, None], point + child_dir * eps, point),
+            child_dir,
+            jnp.where(refl_ok[:, None], child_w, 0.0),
+            jnp.zeros_like(beer),
+            rindex,
+            refl_ok,
+            state,
+        )
+
+        # Refraction child (raytracer.cpp:337-359).
+        refr = scene.refr[safe]
+        m_rindex = scene.refr_index[safe]
+        m_rindex_safe = jnp.where(m_rindex != 0.0, m_rindex, 1.0)
+        n_ratio = rindex / m_rindex_safe
+        n2 = n_hit * code.astype(jnp.float32)[:, None]
+        cos_i = -_dot(n2, d)
+        cos_t2 = 1.0 - n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+        refr_ok = shaded & (refr > 0.0) & (cos_t2 > 0.0)
+        cos_t2_safe = jnp.where(cos_t2 > 0.0, cos_t2, 1.0)
+        tdir = n_ratio[:, None] * d + (
+            n_ratio * cos_i - jnp.sqrt(cos_t2_safe)
+        )[:, None] * n2
+        # Child's Beer absorbance: parent material color * 0.15, applied
+        # with the child's own hit distance when the child completes.
+        child_beer = scene.color[safe] * jnp.float32(0.15)
+        state = node(
+            level + 1,
+            jnp.where(refr_ok[:, None], point + tdir * eps, point),
+            jnp.where(refr_ok[:, None], tdir, d),
+            jnp.where(refr_ok[:, None], w_eff, 0.0),
+            jnp.where(refr_ok[:, None], child_beer, 0.0),
+            jnp.where(refr_ok, m_rindex_safe, rindex),
+            refr_ok,
+            state,
+        )
+        return state
+
+    state = node(
+        1,
+        o,
+        d,
+        jnp.ones_like(o),
+        jnp.zeros_like(o),
+        jnp.ones(o.shape[0], jnp.float32),
+        jnp.ones(o.shape[0], bool),
+        state,
+    )
+    return acc_total, state
+
+
+def camera_rays5(
+    width: int,
+    height: int,
+    pos=(0.0, 0.0, 0.0),
+    target=(0.0, 0.0, 1.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primary rays via the look-at matrix camera (Engine::InitRender,
+    raytracer.cpp:413-451): eye at (0,0,-5), 8x6 screen plane at z=0 in
+    camera space, transformed to world space. Row 0 = top of image."""
+    pos = np.asarray(pos, np.float32)
+    target = np.asarray(target, np.float32)
+    z = target - pos
+    z = z / np.linalg.norm(z)
+    up = np.array([0, 1, 0], np.float32)
+    x = np.cross(up, z)
+    x = x / max(np.linalg.norm(x), 1e-12)
+    y = np.cross(x, -z)
+    rot = np.stack([x, y, z], axis=0)  # rows
+    inv = np.linalg.inv(rot)
+
+    def xf(p):
+        return inv @ np.asarray(p, np.float32) + pos
+
+    origin = xf((0, 0, -5))
+    p1 = xf((-4, 3, 0))
+    p2 = xf((4, 3, 0))
+    p4 = xf((-4, -3, 0))
+    dx = (p2 - p1) / width
+    dy = (p4 - p1) / height
+    cols = np.arange(width, dtype=np.float32) + 0.5
+    rows = np.arange(height, dtype=np.float32) + 0.5
+    screen = (
+        p1[None, None]
+        + cols[None, :, None] * dx[None, None]
+        + rows[:, None, None] * dy[None, None]
+    ).reshape(-1, 3)
+    dirs = screen - origin
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.broadcast_to(origin, dirs.shape)
+    return jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "trace_depth", "seed"),
+)
+def render_whitted5(
+    scene: Whitted5Scene,
+    width: int = 320,
+    height: int = 240,
+    spp: int = 1,
+    trace_depth: int = TRACEDEPTH5,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """Full-frame render; returns [H, W, 3] float32 linear radiance,
+    averaged over ``spp`` stochastic passes (area-light jitter + glossy)."""
+    from se195_raytracer_tpu.core.rng import init_mwc_state
+
+    o, d = camera_rays5(width, height)
+    r = o.shape[0]
+    state = init_mwc_state((r,), seed)
+    acc = jnp.zeros((r, 3))
+    for _ in range(spp):
+        col, state = whitted5_trace(scene, o, d, state, trace_depth)
+        acc = acc + col
+    return (acc / spp).reshape(height, width, 3)

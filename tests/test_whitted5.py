@@ -1,0 +1,152 @@
+"""Extended (raytracer5-family) tracer tests: primitive semantics against
+hand-computed values, reference-quirk replication, area-light shadows,
+texture mapping, and image-level sanity."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from se195_raytracer_tpu.models.whitted5 import (
+    HIT,
+    INPRIM,
+    _box_normal_static,
+    _texel,
+    calc_shade,
+    find_nearest,
+    render_whitted5,
+    whitted5_trace,
+)
+from se195_raytracer_tpu.core.rng import init_mwc_state
+from se195_raytracer_tpu.scenes.whitted5_scenes import (
+    Whitted5Builder,
+    checker_texture,
+    room5_scene,
+)
+
+
+def test_box_slab_intersect():
+    b = Whitted5Builder()
+    b.box((1.0, -1.0, -1.0), (2.0, 2.0, 2.0), diff=1.0)
+    scene = b.build()
+    o = jnp.array([[0.0, 0.0, 0.0], [4.0, 0.0, 0.0], [0.0, 5.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    idx, code, dist = find_nearest(scene, o, d)
+    assert int(idx[0]) == 0 and abs(float(dist[0]) - 1.0) < 1e-5
+    assert int(idx[1]) == 0 and abs(float(dist[1]) - 1.0) < 1e-5
+    assert int(idx[2]) == -1  # passes above the box
+
+
+def test_plane_is_one_sided():
+    """PlanePrim::Intersect only accepts dot(N, dir) < 0 (scene.cpp:232-244)."""
+    b = Whitted5Builder()
+    b.plane((0.0, 1.0, 0.0), 2.0, diff=1.0)  # plane y = -2
+    scene = b.build()
+    o = jnp.array([[0.0, 0.0, 0.0], [0.0, -4.0, 0.0]])
+    d = jnp.array([[0.0, -1.0, 0.0], [0.0, 1.0, 0.0]])
+    idx, code, dist = find_nearest(scene, o, d)
+    assert int(idx[0]) == 0 and abs(float(dist[0]) - 2.0) < 1e-5
+    assert int(idx[1]) == -1  # approaching from below the normal: ignored
+
+
+def test_sphere_inprim_code():
+    b = Whitted5Builder()
+    b.sphere((0.0, 0.0, 0.0), 2.0, diff=1.0)
+    scene = b.build()
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    idx, code, dist = find_nearest(scene, o, d)
+    assert int(idx[0]) == 0 and int(code[0]) == INPRIM
+    assert abs(float(dist[0]) - 2.0) < 1e-5
+
+
+def test_box_normal_replicates_reference_quirk():
+    """Box::GetNormal ignores the hit position (scene.cpp:352-374); for the
+    pillar box of the room scene it yields (1, 0, 0)."""
+    scene = room5_scene()
+    # prim 8 is the box pillar at (4,-2,0.5) size (0.25,3.5,12)
+    n = np.asarray(_box_normal_static(scene, 8))
+    np.testing.assert_array_equal(n, [1.0, 0.0, 0.0])
+
+
+def test_texel_quirk_width_for_height():
+    """GetTexel scales fv by the *width* (scene.cpp:63-66)."""
+    bitmap = jnp.asarray(np.arange(8 * 4 * 3, dtype=np.float32).reshape(4, 8, 3))
+    u = jnp.array([0.0])
+    v = jnp.array([0.0])
+    # fu = 1000.5*8 = 8004.0 -> u1 = 8004 % 8 = 4, frac 0
+    # fv = 1000.0*8 = 8000.0 -> v1 = 8000 % 4 = 0 (width used, then mod height)
+    out = np.asarray(_texel(bitmap, u, v))
+    np.testing.assert_allclose(out[0], np.asarray(bitmap)[0, 4], rtol=1e-5)
+    # quarter-texel offset in u gives a 25/75 bilinear blend
+    u2 = jnp.array([0.25 / 8.0])
+    out2 = np.asarray(_texel(bitmap, u2, v))
+    expected = 0.75 * np.asarray(bitmap)[0, 4] + 0.25 * np.asarray(bitmap)[0, 5]
+    np.testing.assert_allclose(out2[0], expected, rtol=1e-4)
+
+
+def test_area_light_shadowing():
+    """A plate between the surface and the box light blocks all 16 grid
+    samples; removing it restores full visibility."""
+    def make(blocked):
+        b = Whitted5Builder()
+        b.plane((0.0, 1.0, 0.0), 0.0, diff=1.0)  # floor y=0
+        b.box((-1.0, 5.0, -1.0), (2.0, 0.1, 2.0), is_light=True, color=(1, 1, 1))
+        if blocked:
+            b.box((-3.0, 2.5, -3.0), (6.0, 0.1, 6.0), diff=1.0)
+        return b.build()
+
+    point = jnp.array([[0.0, 0.001, 0.0]])
+    state = init_mwc_state((1,), 0)
+    mask = jnp.array([True])
+    sh_open, _, _ = calc_shade(make(False), 1, point, state, mask, 16)
+    sh_block, _, _ = calc_shade(make(True), 2 if False else 1, point, state, mask, 16)
+    assert float(sh_open[0]) == 1.0
+    assert float(sh_block[0]) == 0.0
+
+
+def test_point_light_requires_reaching_light():
+    """CalcShade point-light visibility: the shadow ray's nearest hit must
+    be the light primitive itself (raytracer.cpp:379-384)."""
+    b = Whitted5Builder()
+    b.plane((0.0, 1.0, 0.0), 0.0, diff=1.0)
+    b.sphere((0.0, 5.0, 0.0), 0.1, is_light=True, color=(1, 1, 1))
+    b.sphere((0.0, 2.5, 0.0), 0.5, diff=1.0)  # occluder
+    scene = b.build()
+    state = init_mwc_state((2,), 0)
+    mask = jnp.array([True, True])
+    pts = jnp.array([[0.0, 0.001, 0.0], [3.0, 0.001, 0.0]])
+    shade, _, _ = calc_shade(scene, 1, pts, state, mask, 4)
+    assert float(shade[0]) == 0.0  # directly under occluder
+    assert float(shade[1]) == 1.0  # off to the side
+
+
+def test_room5_render_stats():
+    scene = room5_scene()
+    img = np.asarray(render_whitted5(scene, width=64, height=48, spp=2))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.3 and (img.max(-1) > 0.05).mean() > 0.3
+    # textured checker floor should produce spatial variance on the floor
+    assert img.std() > 0.05
+
+
+def test_glossy_varies_with_rng_but_perfect_does_not():
+    def make(drefl):
+        b = Whitted5Builder()
+        b.plane((0.0, 1.0, 0.0), 0.0, refl=0.8, drefl=drefl, diff=0.2,
+                color=(1.0, 1.0, 1.0))
+        # Sphere centered on the perfect-reflection ray's closest-approach
+        # point so the glossy lobe straddles its silhouette.
+        b.sphere((0.0, 0.6, 1.2), 0.5, diff=1.0, color=(1.0, 0.0, 0.0))
+        b.sphere((5.0, 5.0, 0.0), 0.1, is_light=True, color=(1, 1, 1))
+        return b.build()
+
+    o = jnp.array([[0.0, 2.0, -4.0]])
+    d = jnp.array([[0.0, -0.5, 1.0]])
+    d = d / jnp.linalg.norm(d)
+    glossy = make(0.5)
+    c1, _ = whitted5_trace(glossy, o, d, init_mwc_state((1,), 1))
+    c2, _ = whitted5_trace(glossy, o, d, init_mwc_state((1,), 2))
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+    mirror = make(0.0)
+    m1, _ = whitted5_trace(mirror, o, d, init_mwc_state((1,), 1))
+    m2, _ = whitted5_trace(mirror, o, d, init_mwc_state((1,), 2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
