@@ -72,6 +72,61 @@ def init_mwc_state(shape, seed: int = 0) -> MWCState:
     return jnp.asarray(s[0]), jnp.asarray(s[1])
 
 
+def counter_next(state: MWCState) -> Tuple[jnp.ndarray, MWCState]:
+    """Counter-based stateless draw (SplitMix32-style mixer).
+
+    State reuses the two-word layout: ``state[0]`` is a per-pixel key
+    derived from the *absolute* pixel id (shard-invariant — SURVEY.md §7
+    hard part 6), ``state[1]`` is the draw counter. Each draw hashes
+    (key, counter) and increments the counter; masked advancement works
+    exactly like the MWC mode, so the integrators are generator-agnostic.
+    """
+    key, ctr = state
+    x = key ^ (ctr * jnp.uint32(0x9E3779B9))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x21F0AAAD)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x735A2D97)
+    x = x ^ (x >> 15)
+    value = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    return value, (key, ctr + jnp.uint32(1))
+
+
+def counter_next_masked(state: MWCState, mask: jnp.ndarray) -> Tuple[jnp.ndarray, MWCState]:
+    value, (key, ctr) = counter_next(state)
+    return value, (key, jnp.where(mask, ctr, state[1]))
+
+
+def init_counter_state(shape, seed: int = 0, pixel_offset: int = 0) -> MWCState:
+    """Per-pixel counter-RNG state keyed by absolute pixel id."""
+    n = int(np.prod(shape))
+    pid = jnp.arange(pixel_offset, pixel_offset + n, dtype=jnp.uint32).reshape(shape)
+    seed_word = (seed * 0x85EBCA6B + 0x165667B1) & 0xFFFFFFFF
+    key = pid * jnp.uint32(0x9E3779B1) ^ jnp.uint32(seed_word)
+    # one mixing round so adjacent pixels decorrelate
+    key = key ^ (key >> 16)
+    key = key * jnp.uint32(0x7FEB352D)
+    key = key ^ (key >> 15)
+    return key, jnp.zeros(shape, jnp.uint32)
+
+
+def next_masked(rng_kind: str):
+    """Draw-function lookup used by the integrators."""
+    if rng_kind == "mwc":
+        return mwc_next_masked
+    if rng_kind == "counter":
+        return counter_next_masked
+    raise ValueError(f"unknown rng kind {rng_kind!r}")
+
+
+def init_state(rng_kind: str, shape, seed: int = 0) -> MWCState:
+    if rng_kind == "mwc":
+        return init_mwc_state(shape, seed)
+    if rng_kind == "counter":
+        return init_counter_state(shape, seed)
+    raise ValueError(f"unknown rng kind {rng_kind!r}")
+
+
 def fold_key(key: jax.Array, pixel_id: jnp.ndarray) -> jax.Array:
     """Counter-based per-pixel key derived from the *absolute* pixel id.
 

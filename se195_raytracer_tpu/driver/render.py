@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from se195_raytracer_tpu.core.config import RenderConfig
-from se195_raytracer_tpu.core.rng import MWCState, init_mwc_state
+from se195_raytracer_tpu.core.rng import MWCState, init_mwc_state, init_state
 from se195_raytracer_tpu.core.types import Camera, Scene, update_camera
 from se195_raytracer_tpu.models.smallpt import generate_camera_rays, radiance
 
@@ -67,10 +67,11 @@ def _sample_once(
     def chunk_fn(args):
         cx, cy, cs0, cs1 = args
         o, d, st = generate_camera_rays(
-            basis, (cs0, cs1), config.width, config.height, cx, cy
+            basis, (cs0, cs1), config.width, config.height, cx, cy, config.rng
         )
         r, st = radiance(
-            scene, o, d, st, config.max_depth, direct_only, remat=remat
+            scene, o, d, st, config.max_depth, direct_only, remat=remat,
+            rng=config.rng,
         )
         return r, st[0], st[1]
 
@@ -94,7 +95,7 @@ def _sample_once(
 
 def init_render_state(config: RenderConfig) -> RenderState:
     n = config.width * config.height
-    s0, s1 = init_mwc_state((n,), config.seed)
+    s0, s1 = init_state(config.rng, (n,), config.seed)
     return RenderState(
         accum=jnp.zeros((n, 3), jnp.float32),
         s0=s0,
@@ -152,7 +153,7 @@ def render(
     kernel path is used (kernels/pt_kernel.py — ~100x faster on TPU); its
     resumable state is opaque but interchangeable in this API.
     """
-    if config.use_pallas and scene.num_spheres <= 96:
+    if config.use_pallas and scene.num_spheres <= 96 and config.rng == "mwc":
         # The fused kernel unrolls the sphere loop; beyond ~96 spheres the
         # unroll bloats compile time, so large scenes (e.g. complex, 783)
         # stay on the XLA path until the chunked-kernel variant lands.

@@ -24,7 +24,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from se195_raytracer_tpu.core.rng import MWCState, mwc_next_masked
+from se195_raytracer_tpu.core.rng import MWCState, mwc_next_masked, next_masked
 from se195_raytracer_tpu.core.types import (
     DIFF,
     SPEC,
@@ -58,15 +58,17 @@ def generate_camera_rays(
     height: int,
     xs: jnp.ndarray,
     ys: jnp.ndarray,
+    rng: str = "mwc",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, MWCState]:
     """Jittered primary rays — rendering_kernel.cl:29-51 GenerateCameraRay.
 
     Consumes exactly 2 RNG draws per pixel. ``xs``/``ys`` are the
     reference's pixel coordinates (y counts up from the image bottom).
     """
+    draw = next_masked(rng)
     all_on = jnp.ones(xs.shape, bool)
-    r1, state = mwc_next_masked(state, all_on)
-    r2, state = mwc_next_masked(state, all_on)
+    r1, state = draw(state, all_on)
+    r2, state = draw(state, all_on)
     inv_w = jnp.float32(1.0 / width)
     inv_h = jnp.float32(1.0 / height)
     kcx = (xs.astype(jnp.float32) + (r1 - 0.5)) * inv_w - 0.5
@@ -87,6 +89,7 @@ def sample_lights(
     hit_point: jnp.ndarray,
     nl: jnp.ndarray,
     draw_mask: jnp.ndarray,
+    rng: str = "mwc",
 ) -> Tuple[jnp.ndarray, MWCState]:
     """Next-event estimation over all emissive spheres — geomfunc.h:112-165.
 
@@ -98,11 +101,12 @@ def sample_lights(
 
     Returns (Ld [R, 3], new_state).
     """
+    draw = next_masked(rng)
     r = hit_point.shape[0]
     ld = jnp.zeros((r, 3), jnp.float32)
     for li in scene.light_indices:
-        u1, state = mwc_next_masked(state, draw_mask)
-        u2, state = mwc_next_masked(state, draw_mask)
+        u1, state = draw(state, draw_mask)
+        u2, state = draw(state, draw_mask)
         usp = uniform_sample_sphere(u1, u2)  # [R, 3]
         sphere_point = scene.radius[li] * usp + scene.center[li][None, :]
         sdir = sphere_point - hit_point
@@ -140,7 +144,7 @@ class BounceCarry(NamedTuple):
     s1: jnp.ndarray  # [R] uint32
 
 
-def _bounce_body(scene: Scene, direct_only: bool, carry: BounceCarry, _) -> Tuple[BounceCarry, None]:
+def _bounce_body(scene: Scene, direct_only: bool, rng: str, carry: BounceCarry, _) -> Tuple[BounceCarry, None]:
     """One iteration of the bounce loop (geomfunc.h:182-336), all lanes."""
     o, d, rad, thr, alive, spec_b, s0, s1 = carry
     state: MWCState = (s0, s1)
@@ -174,16 +178,17 @@ def _bounce_body(scene: Scene, direct_only: bool, carry: BounceCarry, _) -> Tupl
     is_spec = live & (mat == SPEC)
     is_refr = live & ~(mat == DIFF) & ~(mat == SPEC)  # geomfunc.h else-branch
 
+    draw = next_masked(rng)
     # ---------------- DIFF (geomfunc.h:229-269) ----------------
     thr_c = thr * c  # throughput already multiplied before NEE (:231)
-    ld, state = sample_lights(scene, state, hp, nl, is_diff)
+    ld, state = sample_lights(scene, state, hp, nl, is_diff, rng)
     rad = rad + jnp.where(is_diff[:, None], thr_c * ld, 0.0)
     if direct_only:
         # RadianceDirectLighting:402-414 — diffuse path terminates after NEE.
         nd_diff = d
     else:
-        r1u, state = mwc_next_masked(state, is_diff)
-        r2u, state = mwc_next_masked(state, is_diff)
+        r1u, state = draw(state, is_diff)
+        r2u, state = draw(state, is_diff)
         nd_diff = cosine_sample_dir(nl, r1u, r2u)
 
     # ---------------- SPEC (geomfunc.h:270-280) ----------------
@@ -211,7 +216,7 @@ def _bounce_body(scene: Scene, direct_only: bool, carry: BounceCarry, _) -> Tupl
     p = 0.25 + 0.5 * re
     rp = re / p
     tp = tr / (1.0 - p)
-    u_rr, state = mwc_next_masked(state, is_refr & ~tir)
+    u_rr, state = draw(state, is_refr & ~tir)
     pick_refl = u_rr < p
 
     refr_refl = is_refr & (tir | pick_refl)  # follow reflection ray
@@ -260,6 +265,7 @@ def radiance(
     max_depth: int = 7,
     direct_only: bool = False,
     remat: bool = False,
+    rng: str = "mwc",
 ) -> Tuple[jnp.ndarray, MWCState]:
     """Estimate radiance for a batch of rays.
 
@@ -281,18 +287,18 @@ def radiance(
         s0=state[0],
         s1=state[1],
     )
-    body = functools.partial(_bounce_body, scene, direct_only)
+    body = functools.partial(_bounce_body, scene, direct_only, rng)
     if remat:
         body = jax.checkpoint(body)
     carry, _ = jax.lax.scan(body, carry, None, length=max_depth)
     return carry.rad, (carry.s0, carry.s1)
 
 
-def radiance_path_tracing(scene, origin, direction, state, max_depth=7, remat=False):
+def radiance_path_tracing(scene, origin, direction, state, max_depth=7, remat=False, rng="mwc"):
     """RadiancePathTracing (geomfunc.h:167-338), batched."""
-    return radiance(scene, origin, direction, state, max_depth, False, remat)
+    return radiance(scene, origin, direction, state, max_depth, False, remat, rng)
 
 
-def radiance_direct_lighting(scene, origin, direction, state, max_depth=7, remat=False):
+def radiance_direct_lighting(scene, origin, direction, state, max_depth=7, remat=False, rng="mwc"):
     """RadianceDirectLighting (geomfunc.h:340-483), batched."""
-    return radiance(scene, origin, direction, state, max_depth, True, remat)
+    return radiance(scene, origin, direction, state, max_depth, True, remat, rng)

@@ -1,0 +1,63 @@
+"""Counter-based stateless RNG mode (config.rng='counter'): draw quality,
+masked advancement, shard-invariant keying, and end-to-end render
+consistency with the MWC mode."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from se195_raytracer_tpu.core.config import RenderConfig
+from se195_raytracer_tpu.core.rng import (
+    counter_next,
+    counter_next_masked,
+    init_counter_state,
+)
+from se195_raytracer_tpu.driver.render import render
+from se195_raytracer_tpu.scenes.registry import get_scene
+
+
+def test_counter_range_and_uniformity():
+    state = init_counter_state((4096,), seed=1)
+    vals = []
+    for _ in range(8):
+        v, state = counter_next(state)
+        vals.append(np.asarray(v))
+    v = np.concatenate(vals)
+    assert (v >= 0).all() and (v < 1).all()
+    assert abs(v.mean() - 0.5) < 0.01
+    hist, _ = np.histogram(v, bins=16, range=(0, 1))
+    assert hist.min() > 0.8 * v.size / 16
+
+
+def test_counter_masked_advancement():
+    state = init_counter_state((3,), seed=0)
+    mask = jnp.array([True, False, True])
+    _, (k, c) = counter_next_masked(state, mask)
+    assert int(c[1]) == 0 and int(c[0]) == 1 and int(c[2]) == 1
+
+
+def test_counter_state_is_pixel_keyed():
+    """Keys derive from absolute pixel ids, so two shards computing their
+    own halves produce the same streams as the full array (shard-invariant
+    multi-host rendering)."""
+    full = init_counter_state((8,), seed=2)
+    lo = init_counter_state((4,), seed=2, pixel_offset=0)
+    hi = init_counter_state((4,), seed=2, pixel_offset=4)
+    np.testing.assert_array_equal(
+        np.asarray(full[0]), np.concatenate([np.asarray(lo[0]), np.asarray(hi[0])])
+    )
+
+
+def test_counter_render_statistically_matches_mwc():
+    spec = get_scene("simple")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg_m = RenderConfig(width=32, height=32, spp=8, seed=0, rng="mwc")
+    cfg_c = RenderConfig(width=32, height=32, spp=8, seed=0, rng="counter")
+    img_m, _ = render(scene, cam, cfg_m)
+    img_c, _ = render(scene, cam, cfg_c)
+    a, b = np.asarray(img_m), np.asarray(img_c)
+    assert np.isfinite(b).all()
+    # Same integrator, different random streams: means agree within MC noise.
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
+    np.testing.assert_allclose(
+        a.mean(axis=(0, 1)), b.mean(axis=(0, 1)), rtol=0.08
+    )
