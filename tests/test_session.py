@@ -1,0 +1,73 @@
+"""Interactive session (keystroke edit loop) tests."""
+
+import numpy as np
+
+from se195_raytracer_tpu.core.config import RenderConfig
+from se195_raytracer_tpu.driver.session import RenderSession
+from se195_raytracer_tpu.scenes.registry import get_scene
+
+
+def make_session():
+    spec = get_scene("simple")
+    cfg = RenderConfig(width=16, height=16, spp=1, seed=2)
+    return RenderSession(spec.to_scene(), spec.to_camera(), cfg)
+
+
+def test_progressive_then_edit_resets_accumulation():
+    s = make_session()
+    s.step(2)
+    assert s.current_sample == 2
+    img_before = s._image.copy()
+    s.key("w")  # move camera forward
+    assert s.current_sample == 0
+    img_after = s.step(2)
+    assert not np.allclose(img_before, img_after)
+
+
+def test_edit_keeps_seeds_refresh_resets_them():
+    s = make_session()
+    s.step(1)
+    seeds_before = np.asarray(s.state.s0).copy()
+    s.key("4")  # move selected sphere: ReInitScene keeps seeds
+    np.testing.assert_array_equal(np.asarray(s.state.s0), seeds_before)
+    s.key(" ")  # refresh: ReInit(1) reallocates seeds AND they reset to init
+    s2 = make_session()
+    np.testing.assert_array_equal(np.asarray(s.state.s0), np.asarray(s2.state.s0))
+
+
+def test_sphere_selection_and_move():
+    s = make_session()
+    s.key("+")
+    s.key("+")
+    assert s.current_sphere == 2
+    before = np.asarray(s.scene.center[2]).copy()
+    s.key("6")
+    after = np.asarray(s.scene.center[2])
+    np.testing.assert_allclose(after - before, [5.0, 0.0, 0.0])
+    s.key("-")
+    assert s.current_sphere == 1
+
+
+def test_rotation_changes_target_only():
+    s = make_session()
+    orig = np.asarray(s.camera.orig).copy()
+    tgt = np.asarray(s.camera.target).copy()
+    s.key("left")
+    np.testing.assert_array_equal(np.asarray(s.camera.orig), orig)
+    assert not np.allclose(np.asarray(s.camera.target), tgt)
+
+
+def test_save_image(tmp_path):
+    s = make_session()
+    s.step(1)
+    out = tmp_path / "snap.ppm"
+    s.key("p", path=str(out))
+    from se195_raytracer_tpu.io.image import read_ppm
+
+    img = read_ppm(str(out))
+    assert img.shape == (16, 16, 3)
+
+
+def test_esc_returns_false():
+    s = make_session()
+    assert s.key("\x1b") is False
