@@ -106,3 +106,19 @@ def test_scene_gradient_psum_across_shards(mesh):
         a, b = np.asarray(a), np.asarray(b)
         if a.dtype.kind == "f":
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_render_sharded_api(mesh):
+    """User-facing render_sharded: matches the plain render bitwise."""
+    from se195_raytracer_tpu.parallel.render_sharded import render_sharded
+
+    spec = get_scene("caustic")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=32, height=16, spp=2, seed=1)
+    img_plain, _ = render(scene, cam, cfg)
+    img_shard, st = render_sharded(scene, cam, cfg, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(img_plain), np.asarray(img_shard))
+    assert int(st.sample) == 2
+    # resume keeps working (st is donated into the resumed call)
+    img2, st2 = render_sharded(scene, cam, cfg, mesh=mesh, state=st)
+    assert int(st2.sample) == 4
