@@ -242,8 +242,10 @@ def _make_kernel(
             # --- SampleLights (geomfunc.h:112-165) ---
             ld_r, ld_g, ld_b = zero, zero, zero
             for li in light_indices:
-                u1, s0, s1 = _mwc_masked(s0, s1, is_diff)
+                # right-to-left C arg evaluation: first draw -> u2 (phi),
+                # second -> u1 (zz). See models/smallpt.py sample_lights.
                 u2, s0, s1 = _mwc_masked(s0, s1, is_diff)
+                u1, s0, s1 = _mwc_masked(s0, s1, is_diff)
                 zz = 1.0 - 2.0 * u1
                 rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
                 phi = jnp.float32(2.0 * np.pi) * u2

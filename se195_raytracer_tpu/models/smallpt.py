@@ -105,9 +105,14 @@ def sample_lights(
     r = hit_point.shape[0]
     ld = jnp.zeros((r, 3), jnp.float32)
     for li in scene.light_indices:
-        u1, state = draw(state, draw_mask)
-        u2, state = draw(state, draw_mask)
-        usp = uniform_sample_sphere(u1, u2)  # [R, 3]
+        # The reference calls UniformSampleSphere(GetRandom(), GetRandom())
+        # in ONE expression (geomfunc.h:138); C argument evaluation order is
+        # unspecified and gcc/MSVC evaluate right-to-left, so u1 receives
+        # the SECOND draw and u2 the FIRST. Verified against the compiled
+        # reference (tests/test_reference_parity.py).
+        draw_a, state = draw(state, draw_mask)
+        draw_b, state = draw(state, draw_mask)
+        usp = uniform_sample_sphere(draw_b, draw_a)  # [R, 3]
         sphere_point = scene.radius[li] * usp + scene.center[li][None, :]
         sdir = sphere_point - hit_point
         length = jnp.sqrt(_dot(sdir, sdir))

@@ -119,8 +119,11 @@ inline V3 direct_light(const SceneView& s, Rng& rng, V3 p, V3 nl) {
   for (int i = 0; i < s.n; ++i) {
     V3 le = s.e(i);
     if (!is_emitter(le)) continue;
-    float u1 = rng.next();
+    // Match the reference binaries: gcc/MSVC evaluate the two GetRandom
+    // arguments of UniformSampleSphere right-to-left (geomfunc.h:138), so
+    // the first stream draw feeds phi (u2) and the second feeds zz (u1).
     float u2 = rng.next();
+    float u1 = rng.next();
     float zz = 1.0f - 2.0f * u1;
     float rr = std::sqrt(std::fmax(0.0f, 1.0f - zz * zz));
     float phi = 2.0f * kPi * u2;

@@ -121,9 +121,11 @@ def sample_lights(sc: OracleScene, seeds, hit_point, nl) -> np.ndarray:
     for i in range(sc.center.shape[0]):
         if _viszero(sc.emission[i]):
             continue
-        u1 = get_random(seeds)
-        u2 = get_random(seeds)
-        usp = uniform_sample_sphere(u1, u2)
+        # gcc/MSVC evaluate UniformSampleSphere's two GetRandom() args
+        # right-to-left (geomfunc.h:138): first draw -> u2, second -> u1.
+        draw_a = get_random(seeds)
+        draw_b = get_random(seeds)
+        usp = uniform_sample_sphere(draw_b, draw_a)
         sphere_point = sc.radius[i] * usp + sc.center[i]
         sdir = sphere_point - hit_point
         length = F(np.sqrt(F(sdir.dot(sdir))))

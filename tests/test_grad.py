@@ -76,10 +76,13 @@ def test_center_gradient_matches_fd_small_spheres():
 
     g = np.asarray(jax.grad(loss)(scene.center))
     assert np.isfinite(g).all(), "NaN/inf in geometry gradient"
-    checks = [((1, 0), 1e-2), ((2, 1), 1e-2)]
+    # Components calibrated away from shadow/silhouette boundaries (FD at
+    # eps=1e-2 agrees to <10% there; boundary-crossing components like
+    # (1,0)/(1,2) legitimately disagree — step-function visibility).
+    checks = [((1, 1), 1e-2), ((2, 1), 1e-2), ((3, 0), 1e-2), ((3, 2), 1e-2)]
     for idx, eps in checks:
         fd = _fd(loss, scene.center, idx, eps)
-        assert abs(g[idx] - fd) <= 0.15 * abs(fd) + 2e-5, (idx, g[idx], fd)
+        assert abs(g[idx] - fd) <= 0.1 * abs(fd) + 2e-5, (idx, g[idx], fd)
 
 
 def test_camera_gradient_finite():
