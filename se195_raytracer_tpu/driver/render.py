@@ -77,6 +77,13 @@ def _sample_once(
 
     n = xs.shape[0]
     tile = config.ray_tile
+    if tile is None and scene.num_spheres > 128:
+        # Large scenes: the [rays, spheres] intersection working set is
+        # N*4 bytes/ray per temp; chunk rays so it stays ~100 MB.
+        target = max(8192, (100_000_000 // (scene.num_spheres * 4)) // 128 * 128)
+        tile = next(
+            (t for t in range(min(target, n), 0, -1) if n % t == 0), None
+        )
     if tile is None or tile >= n:
         r, s0, s1 = chunk_fn((xs, ys, state[0], state[1]))
         return r, (s0, s1)

@@ -440,6 +440,14 @@ def render_whitted_scene(
     (acc * 256 / supersample^2, clamped — raytracer_kernel.cl:378-382)."""
     o, d = whitted_camera_rays(width, height, supersample)
     n = o.shape[0]
+    if ray_tile is None:
+        # The tree arrays cost ~63*14 floats/ray; auto-tile so the working
+        # set stays ~a few hundred MB (whole rows to keep exact division).
+        per_row = width * supersample * supersample
+        max_rows = max(1, 65536 // per_row)
+        rows = next(r for r in range(max_rows, 0, -1) if height % r == 0)
+        tile = rows * per_row
+        ray_tile = tile if tile < n else None
     if ray_tile and ray_tile < n:
         if n % ray_tile:
             raise ValueError(f"ray_tile {ray_tile} must divide {n}")

@@ -1,0 +1,113 @@
+"""Run the full reference benchmark matrix (BASELINE.md workloads) and
+emit one JSON line per config. Usage:
+
+    python tools/bench_matrix.py [--quick] [--out BENCH_MATRIX.json]
+
+Configs mirror the reference's .bat launchers and BASELINE.json ladder:
+simple/cornell 640x480 PT + DL, cornell 512x512 8spp (headline), the
+complex 783-sphere scene, and the Whitted room/grid 800x600 3x3-SS.
+"""
+
+import argparse
+import json
+import time
+
+
+def timed(fn):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="quarter-size configs")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.driver.render import render
+    from se195_raytracer_tpu.models.whitted import render_whitted_scene
+    from se195_raytracer_tpu.scenes.registry import get_scene
+    from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
+
+    s = 4 if args.quick else 1
+    results = []
+
+    smallpt_cfgs = [
+        ("simple_640x480_pt", "simple", 640 // s, 480 // s, 4, "pt", True),
+        ("cornell_640x480_pt", "cornell", 640 // s, 480 // s, 4, "pt", True),
+        ("cornell_640x480_dl", "cornell", 640 // s, 480 // s, 4, "dl", True),
+        ("cornell_512x512_8spp_pt", "cornell", 512 // s, 512 // s, 8, "pt", True),
+        ("caustic3_640x480_pt", "caustic3", 640 // s, 480 // s, 4, "pt", True),
+        ("complex783_256x256_pt", "complex", 256 // s, 256 // s, 2, "pt", False),
+    ]
+    for name, scene_name, w, h, spp, integ, pallas in smallpt_cfgs:
+        spec = get_scene(scene_name)
+        scene, cam = spec.to_scene(), spec.to_camera()
+        cfg = RenderConfig(
+            width=w, height=h, spp=spp, integrator=integ, use_pallas=pallas
+        )
+        state_box = {}
+
+        def run(cfg=cfg, scene=scene, cam=cam, state_box=state_box):
+            img, st = render(scene, cam, cfg, state=state_box.get("st"))
+            state_box["st"] = st
+            return img
+
+        elapsed = timed(run)
+        rays = w * h * spp
+        results.append(
+            {
+                "config": name,
+                "n_spheres": scene.num_spheres,
+                "rays": rays,
+                "elapsed_s": round(elapsed, 5),
+                "rays_per_sec": round(rays / elapsed, 1),
+                "pallas": pallas,
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+
+    for name in ["room", "grid"]:
+        scene = WHITTED_SCENES[name]()
+        w, h = 800 // s, 600 // s
+
+        def run(scene=scene, w=w, h=h):
+            return render_whitted_scene(scene, width=w, height=h)
+
+        elapsed = timed(run)
+        rays = w * h * 9
+        results.append(
+            {
+                "config": f"whitted_{name}_{w}x{h}_3x3",
+                "n_prims": scene.num_prims,
+                "rays": rays,
+                "elapsed_s": round(elapsed, 5),
+                "rays_per_sec": round(rays / elapsed, 1),
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+
+    summary = {
+        "device": str(jax.devices()[0]),
+        "results": results,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
