@@ -27,7 +27,7 @@ Semantics flags:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -223,17 +223,6 @@ def whitted_shade(
     return prim_idx, result, dist_safe, point, color
 
 
-class _TreeArrays(NamedTuple):
-    o: jnp.ndarray  # [R, M, 3]
-    d: jnp.ndarray  # [R, M, 3]
-    weight: jnp.ndarray  # [R, M]
-    rtype: jnp.ndarray  # [R, M] int32 ORIGIN/REFLECTED/REFRACTED
-    origin_prim: jnp.ndarray  # [R, M] int32
-    r_index: jnp.ndarray  # [R, M]
-    transp: jnp.ndarray  # [R, M, 3]
-    valid: jnp.ndarray  # [R, M] bool
-
-
 def whitted_trace(
     scene: WhittedScene,
     o: jnp.ndarray,
@@ -244,148 +233,88 @@ def whitted_trace(
     """Trace a batch of primary rays through the bounded reflect/refract
     tree; returns accumulated color [R, 3] (pre tone-scale).
 
-    Heap layout: node i's reflection child is 2i+1, refraction child 2i+2
-    (the 3.0.06 formulation, raytracer.cpp:398-472); contribution rules per
-    ray type follow raytracer_kernel.cl:317-328.
+    Implemented as an UNROLLED binary recursion over the 2^(depth+1)-1
+    tree positions (the 3.0.06 formulation, raytracer.cpp:398-472) —
+    pure dataflow with no dynamic array updates, which both XLA and the
+    TPU backend compile far better than an in-place node-array scan.
+    Contribution rules per ray type follow raytracer_kernel.cl:317-328:
+    a node's color is weighted by its scalar weight (product of refl
+    factors), its accumulated Beer transparency, and — for reflection
+    rays only — its *immediate* parent's material color (ancestor tints
+    do not accumulate in the reference).
     """
     r = o.shape[0]
-    m = 2 ** (trace_depth + 1) - 1  # 63 for depth 5
+    eps = jnp.float32(W_EPSILON)
+    acc_total = jnp.zeros((r, 3), jnp.float32)
 
-    def full(val, shape, dtype=jnp.float32):
-        return jnp.full(shape, val, dtype)
-
-    arrays = _TreeArrays(
-        o=jnp.zeros((r, m, 3)).at[:, 0].set(o),
-        d=jnp.zeros((r, m, 3)).at[:, 0].set(d),
-        weight=full(0.0, (r, m)).at[:, 0].set(1.0),
-        rtype=full(ORIGIN, (r, m), jnp.int32),
-        origin_prim=full(-1, (r, m), jnp.int32),
-        r_index=full(1.0, (r, m)).at[:, 0].set(1.0),
-        transp=jnp.zeros((r, m, 3)).at[:, 0].set(1.0),
-        valid=full(False, (r, m), bool).at[:, 0].set(True),
-    )
-    acc0 = jnp.zeros((r, 3))
-    # Heap level of each node, computed statically.
-    levels = np.floor(np.log2(np.arange(m) + 1)).astype(np.int32)
-    has_children = (levels < trace_depth).astype(np.int32)
-
-    def step(carry, xs):
-        arrays, acc = carry
-        i, has_kids = xs
-        node_o = jnp.take(arrays.o, i, axis=1)
-        node_d = jnp.take(arrays.d, i, axis=1)
-        weight = jnp.take(arrays.weight, i, axis=1)
-        rtype = jnp.take(arrays.rtype, i, axis=1)
-        origin_prim = jnp.take(arrays.origin_prim, i, axis=1)
-        r_index = jnp.take(arrays.r_index, i, axis=1)
-        transp = jnp.take(arrays.transp, i, axis=1)
-        valid = jnp.take(arrays.valid, i, axis=1)
-
+    def node(level, o, d, weight, rtype, parent_col, r_index, transp, valid):
+        nonlocal acc_total
         prim_idx, result, dist, point, ray_col = whitted_shade(
-            scene, node_o, node_d, hit_bias
+            scene, o, d, hit_bias
         )
         hit = prim_idx >= 0
         safe_idx = jnp.maximum(prim_idx, 0)
 
-        # Contribution (raytracer_kernel.cl:317-328).
-        parent_col = scene.color[jnp.maximum(origin_prim, 0)]
-        factor = jnp.where(
-            (rtype == ORIGIN)[:, None],
-            jnp.ones((r, 3)),
-            jnp.where(
-                (rtype == REFLECTED)[:, None],
-                parent_col * transp,
-                transp,
-            ),
-        )
-        acc = acc + jnp.where(
+        if rtype == ORIGIN:
+            factor = jnp.ones((r, 3), jnp.float32)
+        elif rtype == REFLECTED:
+            factor = parent_col * transp
+        else:
+            factor = transp
+        acc_total = acc_total + jnp.where(
             valid[:, None], ray_col * weight[:, None] * factor, 0.0
         )
 
-        def write_children(arrays):
-            n_hit = _get_normal(scene, safe_idx, point)
-            # Reflection child (raytracer_kernel.cl:332-348).
-            refl_f = scene.refl[safe_idx]
-            rdir = node_d - (2.0 * _dot(node_d, n_hit))[:, None] * n_hit
-            ro = point + rdir * jnp.float32(W_EPSILON)
-            refl_ok = valid & hit & (refl_f > 0.0)
-            ci = 2 * i + 1
-            arrays = arrays._replace(
-                o=jax.lax.dynamic_update_index_in_dim(arrays.o, ro, ci, 1),
-                d=jax.lax.dynamic_update_index_in_dim(arrays.d, rdir, ci, 1),
-                weight=jax.lax.dynamic_update_index_in_dim(
-                    arrays.weight, refl_f * weight, ci, 1
-                ),
-                rtype=jax.lax.dynamic_update_index_in_dim(
-                    arrays.rtype, jnp.full((r,), REFLECTED, jnp.int32), ci, 1
-                ),
-                origin_prim=jax.lax.dynamic_update_index_in_dim(
-                    arrays.origin_prim, safe_idx, ci, 1
-                ),
-                r_index=jax.lax.dynamic_update_index_in_dim(
-                    arrays.r_index, r_index, ci, 1
-                ),
-                transp=jax.lax.dynamic_update_index_in_dim(
-                    arrays.transp, transp, ci, 1
-                ),
-                valid=jax.lax.dynamic_update_index_in_dim(
-                    arrays.valid, refl_ok, ci, 1
-                ),
-            )
-            # Refraction child (raytracer_kernel.cl:350-372).
-            refr_f = scene.refr[safe_idx]
-            m_rindex = scene.refr_index[safe_idx]
-            m_rindex_safe = jnp.where(m_rindex != 0.0, m_rindex, 1.0)
-            n_ratio = r_index / m_rindex_safe
-            n2 = n_hit * result.astype(jnp.float32)[:, None]
-            cos_i = -_dot(n2, node_d)
-            cos_t2 = 1.0 - n_ratio * n_ratio * (1.0 - cos_i * cos_i)
-            cos_t2_safe = jnp.where(cos_t2 > 0.0, cos_t2, 1.0)
-            tdir = n_ratio[:, None] * node_d + (
-                n_ratio * cos_i - jnp.sqrt(cos_t2_safe)
-            )[:, None] * n2
-            to = point + tdir * jnp.float32(W_EPSILON)
-            # Beer's law (raytracer_kernel.cl:370).
-            t_child = transp * jnp.exp(
-                scene.color[safe_idx] * jnp.float32(0.15) * (-dist)[:, None]
-            )
-            refr_ok = valid & hit & (refr_f > 0.0) & (cos_t2 > 0.0)
-            ci2 = 2 * i + 2
-            arrays = arrays._replace(
-                o=jax.lax.dynamic_update_index_in_dim(arrays.o, to, ci2, 1),
-                d=jax.lax.dynamic_update_index_in_dim(arrays.d, tdir, ci2, 1),
-                weight=jax.lax.dynamic_update_index_in_dim(
-                    arrays.weight, weight, ci2, 1
-                ),
-                rtype=jax.lax.dynamic_update_index_in_dim(
-                    arrays.rtype, jnp.full((r,), REFRACTED, jnp.int32), ci2, 1
-                ),
-                origin_prim=jax.lax.dynamic_update_index_in_dim(
-                    arrays.origin_prim, safe_idx, ci2, 1
-                ),
-                r_index=jax.lax.dynamic_update_index_in_dim(
-                    arrays.r_index, m_rindex_safe, ci2, 1
-                ),
-                transp=jax.lax.dynamic_update_index_in_dim(
-                    arrays.transp, t_child, ci2, 1
-                ),
-                valid=jax.lax.dynamic_update_index_in_dim(
-                    arrays.valid, refr_ok, ci2, 1
-                ),
-            )
-            return arrays
+        if level >= trace_depth:
+            return
 
-        arrays = jax.lax.cond(
-            has_kids > 0, write_children, lambda a: a, arrays
+        n_hit = _get_normal(scene, safe_idx, point)
+        my_col = scene.color[safe_idx]
+        # Reflection child (raytracer_kernel.cl:332-348).
+        refl_f = scene.refl[safe_idx]
+        rdir = d - (2.0 * _dot(d, n_hit))[:, None] * n_hit
+        ro = point + rdir * eps
+        refl_ok = valid & hit & (refl_f > 0.0)
+        node(
+            level + 1, ro, rdir, refl_f * weight, REFLECTED, my_col,
+            r_index, transp, refl_ok,
         )
-        return (arrays, acc), None
+        # Refraction child (raytracer_kernel.cl:350-372).
+        refr_f = scene.refr[safe_idx]
+        m_rindex = scene.refr_index[safe_idx]
+        m_rindex_safe = jnp.where(m_rindex != 0.0, m_rindex, 1.0)
+        n_ratio = r_index / m_rindex_safe
+        n2 = n_hit * result.astype(jnp.float32)[:, None]
+        cos_i = -_dot(n2, d)
+        cos_t2 = 1.0 - n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+        cos_t2_safe = jnp.where(cos_t2 > 0.0, cos_t2, 1.0)
+        tdir = n_ratio[:, None] * d + (
+            n_ratio * cos_i - jnp.sqrt(cos_t2_safe)
+        )[:, None] * n2
+        to = point + tdir * eps
+        # Beer's law with the PARENT ray's travel distance
+        # (raytracer_kernel.cl:370).
+        t_child = transp * jnp.exp(
+            scene.color[safe_idx] * jnp.float32(0.15) * (-dist)[:, None]
+        )
+        refr_ok = valid & hit & (refr_f > 0.0) & (cos_t2 > 0.0)
+        node(
+            level + 1, to, tdir, weight, REFRACTED, my_col,
+            m_rindex_safe, t_child, refr_ok,
+        )
 
-    xs = (
-        jnp.arange(m, dtype=jnp.int32),
-        jnp.asarray(has_children),
+    node(
+        0,
+        o,
+        d,
+        jnp.ones((r,), jnp.float32),
+        ORIGIN,
+        jnp.ones((r, 3), jnp.float32),
+        jnp.ones((r,), jnp.float32),
+        jnp.ones((r, 3), jnp.float32),
+        jnp.ones((r,), bool),
     )
-    (arrays, acc), _ = jax.lax.scan(step, (arrays, acc0), xs)
-    return acc
+    return acc_total
 
 
 def whitted_camera_rays(
