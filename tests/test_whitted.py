@@ -30,12 +30,13 @@ def test_nearest_hit_matches_oracle_room():
         np.testing.assert_allclose(float(dist[i]), float(dd), rtol=1e-5)
 
 
-@pytest.mark.parametrize("scene_fn", [room_scene, grid_scene])
-@pytest.mark.parametrize("hit_bias", [0.0, 0.005])
+@pytest.mark.parametrize(
+    "scene_fn,hit_bias", [(room_scene, 0.0), (grid_scene, 0.005)]
+)
 def test_whitted_pixels_match_oracle(scene_fn, hit_bias):
     """Full per-pixel parity on a coarse grid of pixels."""
     scene = scene_fn()
-    w, h = 80, 60
+    w, h = 48, 36
     img = np.asarray(
         render_whitted_scene(scene, width=w, height=h, hit_bias=hit_bias)
     )
@@ -53,7 +54,7 @@ def test_whitted_pixels_match_oracle(scene_fn, hit_bias):
 
 def test_whitted_render_finite_and_lit():
     scene = room_scene()
-    img = np.asarray(render_whitted_scene(scene, width=64, height=48))
+    img = np.asarray(render_whitted_scene(scene, width=48, height=36))
     assert np.isfinite(img).all()
     assert img.max() > 10.0  # scene is lit
     assert img.min() >= 0.0 and img.max() <= 255.0
