@@ -353,9 +353,11 @@ def whitted_camera_rays(
     return jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "supersample", "trace_depth", "hit_bias", "ray_tile")
+_whitted_trace_jit = jax.jit(
+    whitted_trace, static_argnames=("trace_depth", "hit_bias")
 )
+
+
 def render_whitted_scene(
     scene: WhittedScene,
     width: int = 800,
@@ -366,27 +368,33 @@ def render_whitted_scene(
     ray_tile: int | None = None,
 ) -> jnp.ndarray:
     """Full-frame Whitted render -> float32 [H, W, 3] in 0..255 scale
-    (acc * 256 / supersample^2, clamped — raytracer_kernel.cl:378-382)."""
+    (acc * 256 / supersample^2, clamped — raytracer_kernel.cl:378-382).
+
+    Rays are processed in fixed-size chunks through ONE jitted trace
+    program (compiled once, reused per chunk) — keeps both the compiler
+    workload and the on-device tree working set small.
+    """
     o, d = whitted_camera_rays(width, height, supersample)
     n = o.shape[0]
     if ray_tile is None:
-        # The tree arrays cost ~63*14 floats/ray; auto-tile so the working
-        # set stays ~a few hundred MB (whole rows to keep exact division).
+        # The tree holds ~63*14 floats/ray; whole rows keep exact division.
         per_row = width * supersample * supersample
         max_rows = max(1, 65536 // per_row)
         rows = next(r for r in range(max_rows, 0, -1) if height % r == 0)
         tile = rows * per_row
-        ray_tile = tile if tile < n else None
-    if ray_tile and ray_tile < n:
-        if n % ray_tile:
-            raise ValueError(f"ray_tile {ray_tile} must divide {n}")
-        k = n // ray_tile
-        acc = jax.lax.map(
-            lambda od: whitted_trace(scene, od[0], od[1], trace_depth, hit_bias),
-            (o.reshape(k, ray_tile, 3), d.reshape(k, ray_tile, 3)),
-        ).reshape(n, 3)
-    else:
-        acc = whitted_trace(scene, o, d, trace_depth, hit_bias)
+        ray_tile = tile if tile < n else n
+    ray_tile = min(ray_tile, n)
+    if n % ray_tile:
+        raise ValueError(f"ray_tile {ray_tile} must divide {n}")
+    chunks = []
+    for i in range(0, n, ray_tile):
+        chunks.append(
+            _whitted_trace_jit(
+                scene, o[i : i + ray_tile], d[i : i + ray_tile],
+                trace_depth=trace_depth, hit_bias=hit_bias,
+            )
+        )
+    acc = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
     ss2 = supersample * supersample
     acc = acc.reshape(height, width, ss2, 3).sum(axis=2)
     img = jnp.clip(acc * jnp.float32(256.0 / ss2), 0.0, 255.0)

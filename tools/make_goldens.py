@@ -1,0 +1,56 @@
+"""Generate golden-image fixtures (tests/goldens/*.npz) on the CPU
+backend — the formalized version of the reference's committed golden
+outputs (test.bmp, SURVEY.md §4.2). Rerun after any *intended* change to
+integrator semantics; tests/test_goldens.py compares fresh renders
+against these."""
+
+import os
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.driver.render import render
+    from se195_raytracer_tpu.models.whitted import render_whitted_scene
+    from se195_raytracer_tpu.models.whitted5 import render_whitted5
+    from se195_raytracer_tpu.scenes.registry import get_scene
+    from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
+    from se195_raytracer_tpu.scenes.whitted_scenes import room_scene
+
+    for name, integ in [
+        ("simple", "pt"),
+        ("cornell", "pt"),
+        ("cornell", "dl"),
+        ("caustic3", "pt"),
+    ]:
+        spec = get_scene(name)
+        cfg = RenderConfig(width=32, height=32, spp=2, seed=13, integrator=integ)
+        img, _ = render(spec.to_scene(), spec.to_camera(), cfg)
+        path = os.path.join(GOLDEN_DIR, f"smallpt_{name}_{integ}.npz")
+        np.savez_compressed(path, image=np.asarray(img))
+        print("wrote", path)
+
+    img = render_whitted_scene(room_scene(), width=48, height=36)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "whitted_room.npz"), image=np.asarray(img)
+    )
+    print("wrote whitted_room")
+
+    img = render_whitted5(room5_scene(), width=48, height=36, spp=1, seed=3)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "whitted5_room.npz"), image=np.asarray(img)
+    )
+    print("wrote whitted5_room")
+
+
+if __name__ == "__main__":
+    main()
