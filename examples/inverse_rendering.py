@@ -1,0 +1,91 @@
+"""Inverse rendering demo — BASELINE.json config #4.
+
+Recovers perturbed sphere positions and albedos of the Cornell box from a
+target image using pixel gradients (the differentiable version of the
+reference's interactive keystroke edit loop, SURVEY.md §3.5).
+
+    python examples/inverse_rendering.py [--size 128] [--steps 60] [--spp 2]
+
+Prints the loss curve and final parameter errors; writes before/after/
+target images beside the script.
+"""
+
+import argparse
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=0.15)
+    ap.add_argument("--outdir", default=os.path.dirname(os.path.abspath(__file__)))
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.driver.optimize import (
+        l2_image_loss,
+        render_differentiable,
+        run_inverse_rendering,
+    )
+    from se195_raytracer_tpu.io.image import write_png
+    from se195_raytracer_tpu.ops.tonemap import to_int_np
+    from se195_raytracer_tpu.scenes.registry import get_scene
+
+    cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp, seed=5)
+    spec = get_scene("cornell")
+    scene_true, cam = spec.to_scene(), spec.to_camera()
+
+    print("rendering target...")
+    target = render_differentiable(scene_true, cam, cfg)
+
+    # Perturb: move the ceiling light, tint the left wall. (Light position
+    # carries strong smooth gradients through the NEE geometry term;
+    # mirror-sphere geometry is silhouette-dominated — SURVEY.md §7 hard
+    # part 2 — and is out of scope for plain pixel-gradient descent.)
+    scene0 = scene_true.replace(
+        center=scene_true.center.at[8].add(jnp.array([8.0, -5.0, 0.0])),
+        color=scene_true.color.at[0].set(jnp.array([0.3, 0.6, 0.3])),
+    )
+    loss0 = float(l2_image_loss(scene0, cam, target, cfg))
+    print(f"initial loss {loss0:.6e}")
+
+    t0 = time.time()
+    st = run_inverse_rendering(
+        scene0,
+        cam,
+        target,
+        cfg,
+        steps=args.steps,
+        learning_rate=args.lr,
+        param_filter=lambda n: n in ("center", "color"),
+        log_every=max(1, args.steps // 10),
+    )
+    print(f"optimized {args.steps} steps in {time.time() - t0:.1f}s")
+
+    err_center = np.abs(
+        np.asarray(st.scene.center[8]) - np.asarray(scene_true.center[8])
+    ).max()
+    err_color = np.abs(
+        np.asarray(st.scene.color[0]) - np.asarray(scene_true.color[0])
+    ).max()
+    print(f"final loss {float(st.loss):.6e}")
+    print(f"light center error: {err_center:.3f} (was 8.0)")
+    print(f"left-wall albedo error: {err_color:.3f} (was 0.45)")
+
+    for tag, sc in [("target", scene_true), ("init", scene0), ("final", st.scene)]:
+        img = render_differentiable(sc, cam, cfg)
+        write_png(
+            to_int_np(np.asarray(img)).astype(np.uint8),
+            os.path.join(args.outdir, f"inverse_{tag}.png"),
+        )
+    print(f"wrote inverse_{{target,init,final}}.png to {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()
