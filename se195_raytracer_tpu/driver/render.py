@@ -160,10 +160,10 @@ def render(
     kernel path is used (kernels/pt_kernel.py — ~100x faster on TPU); its
     resumable state is opaque but interchangeable in this API.
     """
-    if config.use_pallas and scene.num_spheres <= 96 and config.rng == "mwc":
-        # The fused kernel unrolls the sphere loop; beyond ~96 spheres the
-        # unroll bloats compile time, so large scenes (e.g. complex, 783)
-        # stay on the XLA path until the chunked-kernel variant lands.
+    if config.use_pallas and config.rng == "mwc":
+        # Small scenes get the fully unrolled kernel; large ones (e.g.
+        # complex, 783 spheres) the fori_loop kernel with the scene table
+        # in SMEM — selection inside pt_kernel (UNROLL_MAX_SPHERES).
         from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
 
         return render_pallas(scene, camera, config, state=state)

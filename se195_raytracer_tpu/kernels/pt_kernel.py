@@ -23,8 +23,15 @@ Layout choices:
   to the jnp path (and therefore to the scalar oracle).
 
 Scene table layout (packed by ``pack_scene``): rows are
-[cx, cy, cz, rad, ex, ey, ez, colr, colg, colb, refl] — one column per
-sphere.
+[cx, cy, cz, rad, ex, ey, ez, colr, colg, colb, refl, emissive] — one
+column per sphere.
+
+Two sphere-loop strategies, selected by scene size
+(``UNROLL_MAX_SPHERES``): fully unrolled with static scalar reads (small
+scenes — the reference's 5..64-sphere zoo), or a ``fori_loop`` over the
+scene table in SMEM with the winning hit's attributes tracked in the loop
+carry (large scenes — the 783-sphere ``complex`` fractal), keeping code
+size and compile time O(1) in scene size.
 """
 
 from __future__ import annotations
@@ -42,10 +49,18 @@ from se195_raytracer_tpu.core.types import EPSILON, Scene
 
 LANES = 128
 DEF_SUBLANES = 16  # 16 x 128 = 2048 rays per tile
+# Above this the per-sphere unroll bloats compile time; switch to the
+# fori_loop kernel (scene indexed dynamically from SMEM).
+UNROLL_MAX_SPHERES = 96
 
 
 def pack_scene(scene: Scene) -> jnp.ndarray:
-    """[11, N] float32 scene table (refl stored as float)."""
+    """[12, N] float32 scene table (refl stored as float; row 11 is the
+    emissive-classification flag — the reference's viszero test incl. its
+    y-bug, vec.h:44, baked host-side exactly like ``light_indices``)."""
+    emissive = np.zeros((1, scene.num_spheres), np.float32)
+    for i in scene.light_indices:
+        emissive[0, i] = 1.0
     return jnp.concatenate(
         [
             scene.center.T,
@@ -53,6 +68,7 @@ def pack_scene(scene: Scene) -> jnp.ndarray:
             scene.emission.T,
             scene.color.T,
             scene.refl.astype(jnp.float32)[None, :],
+            jnp.asarray(emissive),
         ],
         axis=0,
     )
@@ -92,10 +108,17 @@ def _make_kernel(
     max_depth: int,
     direct_only: bool,
     sublanes: int,
+    loop_scene: bool = False,
 ):
     """Build the kernel body for a static scene *structure* (size, light
     set, per-sphere emissive classification — the reference's viszero
-    test, vec.h:44) while all scene *values* stay runtime inputs."""
+    test, vec.h:44) while all scene *values* stay runtime inputs.
+
+    ``loop_scene=False`` unrolls the sphere loop (best for the reference's
+    small scenes); ``loop_scene=True`` runs it as a ``fori_loop`` over the
+    SMEM scene table with the winning hit's attributes tracked in the loop
+    carry — compile time and code size stay O(1) in scene size, which is
+    what the 783-sphere ``complex`` scene needs."""
 
     tile = sublanes * LANES
     eps = float(np.float32(EPSILON))  # python scalar: jnp consts can't be closure-captured by kernels
@@ -145,61 +168,76 @@ def _make_kernel(
         alive_f = one
         spec_f = one
 
+        def sphere_t(j, ox, oy, oz, dx, dy, dz):
+            """SphereIntersect (geomfunc.h:32-59): distance or 0 on miss."""
+            opx = sc(0, j) - ox
+            opy = sc(1, j) - oy
+            opz = sc(2, j) - oz
+            b = opx * dx + opy * dy + opz * dz
+            det = b * b - (opx * opx + opy * opy + opz * opz) + sc(3, j) * sc(3, j)
+            hit = det >= 0.0
+            sq = jnp.sqrt(jnp.where(hit, det, 1.0))
+            t1 = b - sq
+            t2 = b + sq
+            tj = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
+            return jnp.where(hit, tj, 0.0)
+
+        # Attribute rows carried through the nearest-hit fold: center,
+        # emission, color, material, emissive flag (radius not needed
+        # after the hit).
+        ATTR_ROWS = (0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11)
+
         def nearest(ox, oy, oz, dx, dy, dz):
-            t_best = jnp.full(shape, 1e20, jnp.float32)
-            hid = jnp.zeros(shape, jnp.int32)
-            # N-1 .. 0 with strict < : larger index wins ties (geomfunc.h:82-89).
-            for j in range(n_spheres - 1, -1, -1):
-                opx = sc(0, j) - ox
-                opy = sc(1, j) - oy
-                opz = sc(2, j) - oz
-                b = opx * dx + opy * dy + opz * dz
-                det = b * b - (opx * opx + opy * opy + opz * opz) + sc(3, j) * sc(3, j)
-                hit = det >= 0.0
-                sq = jnp.sqrt(jnp.where(hit, det, 1.0))
-                t1 = b - sq
-                t2 = b + sq
-                tj = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
-                tj = jnp.where(hit, tj, 0.0)
+            """Nearest hit + winning sphere's attributes, folded
+            N-1 .. 0 with strict < so the larger index wins ties
+            (geomfunc.h:82-89)."""
+
+            def step(j, carry):
+                t_best = carry[0]
+                tj = sphere_t(j, ox, oy, oz, dx, dy, dz)
                 better = (tj != 0.0) & (tj < t_best)
-                t_best = jnp.where(better, tj, t_best)
-                hid = jnp.where(better, j, hid)
-            return t_best, hid, t_best < 1e20
+                new = [jnp.where(better, tj, t_best)]
+                for f, a in zip(ATTR_ROWS, carry[1:]):
+                    new.append(jnp.where(better, sc(f, j), a))
+                return tuple(new)
+
+            init = (jnp.full(shape, 1e20, jnp.float32),) + tuple(
+                zero for _ in ATTR_ROWS
+            )
+            if loop_scene:
+                carry = jax.lax.fori_loop(
+                    0, n_spheres,
+                    lambda i, c: step(n_spheres - 1 - i, c), init,
+                )
+            else:
+                carry = init
+                for j in range(n_spheres - 1, -1, -1):
+                    carry = step(j, carry)
+            t_best = carry[0]
+            return t_best, t_best < 1e20, carry[1:]
 
         def any_hit(ox, oy, oz, dx, dy, dz, maxt):
-            occ = zero
-            for j in range(n_spheres - 1, -1, -1):
-                opx = sc(0, j) - ox
-                opy = sc(1, j) - oy
-                opz = sc(2, j) - oz
-                b = opx * dx + opy * dy + opz * dz
-                det = b * b - (opx * opx + opy * opy + opz * opz) + sc(3, j) * sc(3, j)
-                hit = det >= 0.0
-                sq = jnp.sqrt(jnp.where(hit, det, 1.0))
-                t1 = b - sq
-                t2 = b + sq
-                tj = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
-                tj = jnp.where(hit, tj, 0.0)
-                occ = jnp.where((tj != 0.0) & (tj < maxt), 1.0, occ)
-            return occ > 0.5
+            def step(j, occ):
+                tj = sphere_t(j, ox, oy, oz, dx, dy, dz)
+                return jnp.where((tj != 0.0) & (tj < maxt), 1.0, occ)
 
-        def gather(f, hid):
-            out = jnp.zeros(shape, jnp.float32)
-            for j in range(n_spheres):
-                out = jnp.where(hid == j, sc(f, j), out)
-            return out
+            if loop_scene:
+                occ = jax.lax.fori_loop(0, n_spheres, step, zero)
+            else:
+                occ = zero
+                for j in range(n_spheres - 1, -1, -1):
+                    occ = step(j, occ)
+            return occ > 0.5
 
         # --- bounce loop (geomfunc.h:182-336), unrolled max_depth times ---
         for _depth in range(max_depth):
-            t, hid, hit = nearest(ox, oy, oz, dx, dy, dz)
+            t, hit, attrs = nearest(ox, oy, oz, dx, dy, dz)
+            (ccx, ccy, ccz, ex, ey, ez, cr, cg, cb, mat, emissive_f) = attrs
             act = (alive_f > 0.5) & hit
             t_safe = jnp.where(hit, t, 1.0)
             hx = ox + t_safe * dx
             hy = oy + t_safe * dy
             hz = oz + t_safe * dz
-            ccx = gather(0, hid)
-            ccy = gather(1, hid)
-            ccz = gather(2, hid)
             nx0, ny0, nz0 = hx - ccx, hy - ccy, hz - ccz
             inv = 1.0 / jnp.sqrt(
                 jnp.maximum(nx0 * nx0 + ny0 * ny0 + nz0 * nz0, 1e-38)
@@ -209,20 +247,8 @@ def _make_kernel(
             sgn = jnp.where(dp > 0.0, -1.0, 1.0)  # -sign(dp), sign(0)=-1
             nlx, nly, nlz = sgn * nx, sgn * ny, sgn * nz
 
-            ex = gather(4, hid)
-            ey = gather(5, hid)
-            ez = gather(6, hid)
-            cr = gather(7, hid)
-            cg = gather(8, hid)
-            cb = gather(9, hid)
-            mat = gather(10, hid)
-
-            # Per-sphere emissive classification is *structural*
-            # (vec.h:44 viszero incl. its y-bug) — bake a lane mask.
-            emissive_f = zero
-            for j, is_em in enumerate(emissive_flags):
-                if is_em:
-                    emissive_f = jnp.where(hid == j, 1.0, emissive_f)
+            # Per-sphere emissive classification (vec.h:44 viszero incl.
+            # its y-bug) is baked host-side into scene row 11 (pack_scene).
             emissive = emissive_f > 0.5
 
             hit_light = act & emissive
@@ -376,15 +402,8 @@ def _make_kernel(
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "max_depth", "direct_only", "sublanes",
-        "light_indices", "emissive_flags", "interpret",
-    ),
-)
-def pt_sample_pass(
-    scene_tab: jnp.ndarray,  # [11, N]
+def _pass_impl(
+    scene_tab: jnp.ndarray,  # [12, N]
     cam_tab: jnp.ndarray,  # [1, 12]
     sample_idx: jnp.ndarray,  # scalar int32
     s0: jnp.ndarray,  # [Rp] uint32 (padded to tile multiple)
@@ -407,20 +426,26 @@ def pt_sample_pass(
     assert rp % tile == 0, (rp, tile)
     grid = rp // tile
     rows = rp // LANES
+    loop_scene = n > UNROLL_MAX_SPHERES
 
     kernel = _make_kernel(
         n, light_indices, emissive_flags, width, height, max_depth,
-        direct_only, sublanes,
+        direct_only, sublanes, loop_scene=loop_scene,
     )
     s2 = s0.reshape(rows, LANES)
     s3 = s1.reshape(rows, LANES)
+
+    # The loop kernel indexes spheres dynamically — scalar memory is the
+    # right home for the table there; the unrolled kernel reads static
+    # offsets, fine from VMEM.
+    scene_space = pltpu.SMEM if loop_scene else pltpu.VMEM
 
     out_s0, out_s1, out_acc = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sample idx (1,1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # scene table
+            pl.BlockSpec(memory_space=scene_space),  # scene table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # camera
             pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -449,6 +474,65 @@ def pt_sample_pass(
     return out_s0.reshape(rp), out_s1.reshape(rp), out_acc
 
 
+pt_sample_pass = jax.jit(
+    _pass_impl,
+    static_argnames=(
+        "width", "height", "max_depth", "direct_only", "sublanes",
+        "light_indices", "emissive_flags", "interpret",
+    ),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "width", "height", "max_depth", "direct_only",
+        "sublanes", "light_indices", "emissive_flags", "interpret",
+    ),
+)
+def pt_multi_pass(
+    scene_tab: jnp.ndarray,
+    cam_tab: jnp.ndarray,
+    start_sample: jnp.ndarray,  # scalar int32
+    s0: jnp.ndarray,
+    s1: jnp.ndarray,
+    acc: jnp.ndarray,
+    *,
+    num_samples: int,
+    width: int,
+    height: int,
+    max_depth: int,
+    direct_only: bool,
+    light_indices: Tuple[int, ...],
+    emissive_flags: Tuple[bool, ...],
+    sublanes: int = DEF_SUBLANES,
+    interpret: bool = False,
+):
+    """``num_samples`` progressive passes fused into ONE device dispatch.
+
+    The Python-loop-of-launches form costs a host round-trip per pass
+    (the reference pays the same per ``clEnqueueNDRangeKernel``,
+    smallptGPU.cpp:739-755); here a ``lax.scan`` over the sample index
+    keeps the whole progressive loop on device with the seed/accumulator
+    buffers donated in place."""
+
+    def body(carry, i):
+        s0, s1, acc = carry
+        s0, s1, acc = _pass_impl(
+            scene_tab, cam_tab, start_sample + i, s0, s1, acc,
+            width=width, height=height, max_depth=max_depth,
+            direct_only=direct_only, light_indices=light_indices,
+            emissive_flags=emissive_flags, sublanes=sublanes,
+            interpret=interpret,
+        )
+        return (s0, s1, acc), None
+
+    (s0, s1, acc), _ = jax.lax.scan(
+        body, (s0, s1, acc), jnp.arange(num_samples, dtype=jnp.int32)
+    )
+    return s0, s1, acc
+
+
 def render_pallas(
     scene: Scene,
     camera,
@@ -471,7 +555,15 @@ def render_pallas(
     spp = num_samples if num_samples is not None else config.spp
 
     if state is None:
-        s0, s1 = init_mwc_state((rp,), config.seed)
+        # Seed the REAL pixels exactly like the XLA path (same numpy
+        # stream over (r,)), then pad the tile remainder with the minimal
+        # valid reference seed (2) — keeps Pallas output bit-identical to
+        # the jnp path at every resolution, not just tile multiples.
+        s0, s1 = init_mwc_state((r,), config.seed)
+        if rp != r:
+            pad = jnp.full((rp - r,), 2, jnp.uint32)
+            s0 = jnp.concatenate([s0, pad])
+            s1 = jnp.concatenate([s1, pad])
         acc = jnp.zeros((3, rp // LANES, LANES), jnp.float32)
         start = 0
     else:
@@ -482,14 +574,13 @@ def render_pallas(
     emissive_flags = tuple(
         bool(i in scene.light_indices) for i in range(scene.num_spheres)
     )
-    for s in range(start, start + spp):
-        s0, s1, acc = pt_sample_pass(
-            scene_tab, cam_tab, jnp.int32(s), s0, s1, acc,
-            width=w, height=h, max_depth=config.max_depth,
-            direct_only=(config.integrator == "dl"),
-            light_indices=scene.light_indices,
-            emissive_flags=emissive_flags,
-            interpret=interpret,
-        )
+    s0, s1, acc = pt_multi_pass(
+        scene_tab, cam_tab, jnp.int32(start), s0, s1, acc,
+        num_samples=spp, width=w, height=h, max_depth=config.max_depth,
+        direct_only=(config.integrator == "dl"),
+        light_indices=scene.light_indices,
+        emissive_flags=emissive_flags,
+        interpret=interpret,
+    )
     img = acc.reshape(3, rp)[:, :r].T.reshape(h, w, 3)
     return img, (s0, s1, acc, start + spp)

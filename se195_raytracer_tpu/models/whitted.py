@@ -60,8 +60,15 @@ def _prim_tests(scene: WhittedScene, o: jnp.ndarray, d: jnp.ndarray):
     nearest-hit fold, where the reference's order-dependent bias lives).
     """
     # Planes: dist = -(n.o + depth) / (n.d), valid if n.d != 0 and dist > 0.
-    denom = jnp.einsum("nk,rk->rn", scene.normal, d)
-    num = -(jnp.einsum("nk,rk->rn", scene.normal, o) + scene.depth[None, :])
+    # precision=HIGHEST: XLA-TPU otherwise feeds the MXU in bf16, and the
+    # rounding (~2^-8 relative) eats the shadow-ray epsilon offset —
+    # every wall self-shadows. Geometry contractions must be f32.
+    hi = jax.lax.Precision.HIGHEST
+    denom = jnp.einsum("nk,rk->rn", scene.normal, d, precision=hi)
+    num = -(
+        jnp.einsum("nk,rk->rn", scene.normal, o, precision=hi)
+        + scene.depth[None, :]
+    )
     denom_safe = jnp.where(denom != 0.0, denom, 1.0)
     pdist = num / denom_safe
     pvalid = (denom != 0.0) & (pdist > 0.0)
@@ -412,6 +419,14 @@ def render_whitted(spec_or_scene, config) -> jnp.ndarray:
     if not isinstance(scene, WhittedScene):
         # A smallpt SceneSpec was passed; default to the room scene.
         scene = WHITTED_SCENES["room"]()
+    if getattr(config, "use_pallas", False):
+        from se195_raytracer_tpu.kernels.whitted_kernel import (
+            render_whitted_pallas,
+        )
+
+        return render_whitted_pallas(
+            scene, width=config.width, height=config.height
+        )
     return render_whitted_scene(
         scene,
         width=config.width,

@@ -98,11 +98,17 @@ def _prim_candidates(scene: Whitted5Scene, o: jnp.ndarray, d: jnp.ndarray):
     s_inprim = i1 < 0.0
     s_dist = jnp.where(s_inprim, i2, i1)
 
-    # Planes (one-sided).
-    pd = jnp.einsum("nk,rk->rn", scene.normal, d)
+    # Planes (one-sided). precision=HIGHEST: XLA-TPU otherwise runs these
+    # on the MXU in bf16 and the rounding eats epsilon-scale offsets
+    # (self-shadowing) — geometry contractions must be f32.
+    hi = jax.lax.Precision.HIGHEST
+    pd = jnp.einsum("nk,rk->rn", scene.normal, d, precision=hi)
     p_ok = pd < 0.0
     pd_safe = jnp.where(pd != 0.0, pd, 1.0)
-    p_dist = -(jnp.einsum("nk,rk->rn", scene.normal, o) + scene.depth[None, :]) / pd_safe
+    p_dist = -(
+        jnp.einsum("nk,rk->rn", scene.normal, o, precision=hi)
+        + scene.depth[None, :]
+    ) / pd_safe
 
     # Boxes: six slabs.
     v1 = scene.box_pos  # [N, 3]

@@ -20,6 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is dominated by XLA CPU compiles of
+# the unrolled integrators; caching makes re-runs fast. (The cache-stall
+# caveat in utils/jaxcache.py applies to the axon TPU backend only — the
+# suite is pinned to CPU above.)
+jax.config.update(
+    "jax_compilation_cache_dir", "/tmp/se195_test_jax_cache"
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

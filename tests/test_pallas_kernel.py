@@ -33,6 +33,44 @@ def test_pallas_matches_jnp(scene_name, integrator):
     assert (s0_ref != s0_pal).mean() <= 0.01
 
 
+def test_pallas_loop_kernel_matches_jnp():
+    """Scenes above UNROLL_MAX_SPHERES take the fori_loop kernel (scene
+    table in SMEM, hit attributes in the loop carry) — same contract as
+    the unrolled kernel: identical RNG streams, float-reassociation-level
+    value agreement."""
+    from se195_raytracer_tpu.kernels.pt_kernel import UNROLL_MAX_SPHERES
+    from se195_raytracer_tpu.scenes.generator import complex_scene
+
+    spec = complex_scene(max_depth=3.0)  # 158 spheres
+    scene, cam = spec.to_scene(), spec.to_camera()
+    assert scene.num_spheres > UNROLL_MAX_SPHERES
+    cfg = RenderConfig(width=32, height=16, spp=1, seed=5, max_depth=3)
+    img_ref, st_ref = render(scene, cam, cfg)
+    img_pal, st_pal = render_pallas(scene, cam, cfg, interpret=True)
+    a, b = np.asarray(img_ref), np.asarray(img_pal)
+    close = np.isclose(a, b, rtol=2e-3, atol=2e-3)
+    assert 1 - close.mean() <= 0.03
+    r = cfg.width * cfg.height
+    s0_ref = np.asarray(st_ref.s0)
+    s0_pal = np.asarray(st_pal[0])[:r]
+    assert (s0_ref != s0_pal).mean() <= 0.01
+
+
+def test_whitted_pallas_matches_jnp():
+    """The fused Whitted heap kernel must agree with the jnp tree tracer
+    (models/whitted.py) up to float reassociation — same tree, heap
+    accumulation order instead of depth-first."""
+    from se195_raytracer_tpu.kernels.whitted_kernel import render_whitted_pallas
+    from se195_raytracer_tpu.models.whitted import render_whitted_scene
+    from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
+
+    scene = WHITTED_SCENES["room"]()
+    kw = dict(width=40, height=30, supersample=2, trace_depth=3)
+    img_ref = np.asarray(render_whitted_scene(scene, **kw))
+    img_pal = np.asarray(render_whitted_pallas(scene, interpret=True, **kw))
+    np.testing.assert_allclose(img_pal, img_ref, rtol=1e-3, atol=2e-2)
+
+
 def test_pallas_progressive_resume():
     spec = get_scene("cornell")
     scene, cam = spec.to_scene(), spec.to_camera()
