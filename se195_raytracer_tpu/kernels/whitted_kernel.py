@@ -292,6 +292,9 @@ def _make_whitted_kernel(
             st_ref[0, k] = one
 
         # --- heap walk: parents strictly precede children ---
+        # (An all-lanes-invalid subtree skip via pl.when was tried and
+        # REVERTED: the per-node any() reduction + predication cost ~6x
+        # more than the masked full-width work it saved.)
         def node(i, acc):
             accr, accg, accb = acc
             ns = st_ref[i]  # [_ST_N, S, 128] single dynamic read
@@ -327,18 +330,27 @@ def _make_whitted_kernel(
                 rdx = dx - 2.0 * ddn * nx
                 rdy = dy - 2.0 * ddn * ny
                 rdz = dz - 2.0 * ddn * nz
-                refl_valid = jnp.where(
-                    valid & hit & (st["refl"] > 0.0), one, zero
-                )
+                refl_ok = valid & hit & (st["refl"] > 0.0)
+
+                def sane(v, ok):
+                    # Invalid children must store FINITE state: their
+                    # contribution is gated by valid, but garbage origins/
+                    # directions (unnormalized reflections of far-miss
+                    # lanes) otherwise overflow downstream into 0*inf=NaN.
+                    return jnp.where(ok, v, 0.0)
+
                 st_ref[2 * i + 1] = jnp.stack(
                     [
-                        px + rdx * eps, py + rdy * eps, pz + rdz * eps,
-                        rdx, rdy, rdz,
-                        st["refl"] * weight,
-                        st["colr"], st["colg"], st["colb"],
-                        ridx,
-                        tr, tg, tb,
-                        refl_valid,
+                        sane(px + rdx * eps, refl_ok),
+                        sane(py + rdy * eps, refl_ok),
+                        sane(pz + rdz * eps, refl_ok),
+                        sane(rdx, refl_ok), sane(rdy, refl_ok), sane(rdz, refl_ok),
+                        sane(st["refl"] * weight, refl_ok),
+                        sane(st["colr"], refl_ok), sane(st["colg"], refl_ok),
+                        sane(st["colb"], refl_ok),
+                        sane(ridx, refl_ok),
+                        sane(tr, refl_ok), sane(tg, refl_ok), sane(tb, refl_ok),
+                        jnp.where(refl_ok, one, zero),
                     ],
                     axis=0,
                 )
@@ -356,22 +368,23 @@ def _make_whitted_kernel(
                 tdx = n_ratio * dx + kk * n2x
                 tdy = n_ratio * dy + kk * n2y
                 tdz = n_ratio * dz + kk * n2z
-                refr_valid = jnp.where(
-                    valid & hit & (st["refr"] > 0.0) & (cos_t2 > 0.0), one, zero
-                )
+                refr_ok = valid & hit & (st["refr"] > 0.0) & (cos_t2 > 0.0)
                 # Beer's law with the PARENT ray's travel distance
                 # (raytracer_kernel.cl:370).
                 st_ref[2 * i + 2] = jnp.stack(
                     [
-                        px + tdx * eps, py + tdy * eps, pz + tdz * eps,
-                        tdx, tdy, tdz,
-                        weight,
-                        st["colr"], st["colg"], st["colb"],
-                        ridx_m,
-                        tr * jnp.exp(st["colr"] * 0.15 * (-dist)),
-                        tg * jnp.exp(st["colg"] * 0.15 * (-dist)),
-                        tb * jnp.exp(st["colb"] * 0.15 * (-dist)),
-                        refr_valid,
+                        sane(px + tdx * eps, refr_ok),
+                        sane(py + tdy * eps, refr_ok),
+                        sane(pz + tdz * eps, refr_ok),
+                        sane(tdx, refr_ok), sane(tdy, refr_ok), sane(tdz, refr_ok),
+                        sane(weight, refr_ok),
+                        sane(st["colr"], refr_ok), sane(st["colg"], refr_ok),
+                        sane(st["colb"], refr_ok),
+                        sane(ridx_m, refr_ok),
+                        sane(tr * jnp.exp(st["colr"] * 0.15 * (-dist)), refr_ok),
+                        sane(tg * jnp.exp(st["colg"] * 0.15 * (-dist)), refr_ok),
+                        sane(tb * jnp.exp(st["colb"] * 0.15 * (-dist)), refr_ok),
+                        jnp.where(refr_ok, one, zero),
                     ],
                     axis=0,
                 )
