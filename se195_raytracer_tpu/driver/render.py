@@ -160,10 +160,12 @@ def render(
     kernel path is used (kernels/pt_kernel.py — ~100x faster on TPU); its
     resumable state is opaque but interchangeable in this API.
     """
-    if config.use_pallas and config.rng == "mwc":
+    if config.use_pallas:
         # Small scenes get the fully unrolled kernel; large ones (e.g.
         # complex, 783 spheres) the fori_loop kernel with the scene table
         # in SMEM — selection inside pt_kernel (UNROLL_MAX_SPHERES).
+        # Both RNG modes (reference MWC, shard-invariant counter) run
+        # in-kernel.
         from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
 
         return render_pallas(scene, camera, config, state=state)

@@ -18,9 +18,10 @@ Layout choices:
 * Intersection iterates spheres N-1..0 with strict ``<`` so equal
   distances resolve to the larger index, exactly like Intersect
   (geomfunc.h:82-89).
-* RNG is the reference MWC (simplernd.h:34-48) on uint32 vectors with
-  masked advancement — the Pallas output is sample-for-sample identical
-  to the jnp path (and therefore to the scalar oracle).
+* RNG runs in-kernel on uint32 vectors with masked advancement, in both
+  framework modes: the reference MWC (simplernd.h:34-48) and the
+  shard-invariant counter hash (core/rng.py counter_next) — the Pallas
+  output matches the jnp path stream-for-stream either way.
 
 Scene table layout (packed by ``pack_scene``): rows are
 [cx, cy, cz, rad, ex, ey, ez, colr, colg, colb, refl, emissive] — one
@@ -89,9 +90,31 @@ def _mwc_next(s0, s1):
     return (f - 2.0) * 0.5, s0, s1
 
 
-def _mwc_masked(s0, s1, mask):
-    v, n0, n1 = _mwc_next(s0, s1)
-    return v, jnp.where(mask, n0, s0), jnp.where(mask, n1, s1)
+def _counter_next(s0, s1):
+    """core/rng.py counter_next on vectors: s0 = per-pixel key (static),
+    s1 = draw counter."""
+    x = s0 ^ (s1 * jnp.uint32(0x9E3779B9))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x21F0AAAD)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x735A2D97)
+    x = x ^ (x >> 15)
+    # (x >> 8) < 2^24: route the convert through int32 (unsigned->float
+    # converts are shaky in Mosaic).
+    v = (x >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+    return v, s0, s1 + jnp.uint32(1)
+
+
+def _make_rng(rng: str):
+    nxt = _mwc_next if rng == "mwc" else _counter_next
+
+    def masked(s0, s1, mask):
+        v, n0, n1 = nxt(s0, s1)
+        return v, jnp.where(mask, n0, s0), jnp.where(mask, n1, s1)
+
+    return nxt, masked
 
 
 def _norm3(x, y, z):
@@ -109,6 +132,7 @@ def _make_kernel(
     direct_only: bool,
     sublanes: int,
     loop_scene: bool = False,
+    rng: str = "mwc",
 ):
     """Build the kernel body for a static scene *structure* (size, light
     set, per-sphere emissive classification — the reference's viszero
@@ -121,10 +145,11 @@ def _make_kernel(
     what the 783-sphere ``complex`` scene needs."""
 
     tile = sublanes * LANES
+    rng_next, rng_masked = _make_rng(rng)
     eps = float(np.float32(EPSILON))  # python scalar: jnp consts can't be closure-captured by kernels
 
-    def kernel(samp_ref, scene_ref, cam_ref, s0_ref, s1_ref, acc_ref,
-               s0_out, s1_out, acc_out):
+    def kernel(samp_ref, off_ref, scene_ref, cam_ref, s0_ref, s1_ref,
+               acc_ref, s0_out, s1_out, acc_out):
         shape = (sublanes, LANES)
         g = pl.program_id(0)
 
@@ -134,8 +159,13 @@ def _make_kernel(
         # Pixel coordinates (reference gid -> (x, y), rendering_kernel.cl:60-63
         # with the framebuffer v-flip folded in: row r maps to camera
         # y = height-1-r; see driver/render.py).
+        # off_ref: absolute pixel id of this shard's first ray — nonzero
+        # under shard_map so every device draws the same jittered ray for
+        # a given pixel as a single-device render would (SURVEY.md §7
+        # hard part 6: shard-invariant RNG/pixel keying).
         lin = (
-            g * tile
+            off_ref[0, 0]
+            + g * tile
             + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         )
@@ -147,8 +177,8 @@ def _make_kernel(
         s1 = s1_ref[:]
 
         # --- GenerateCameraRay (rendering_kernel.cl:29-51): 2 draws ---
-        r1, s0, s1 = _mwc_next(s0, s1)
-        r2, s0, s1 = _mwc_next(s0, s1)
+        r1, s0, s1 = rng_next(s0, s1)
+        r2, s0, s1 = rng_next(s0, s1)
         kcx = (px.astype(jnp.float32) + (r1 - 0.5)) * (1.0 / width) - 0.5
         kcy = (py.astype(jnp.float32) + (r2 - 0.5)) * (1.0 / height) - 0.5
         co = [cam_ref[0, i] for i in range(12)]
@@ -270,8 +300,8 @@ def _make_kernel(
             for li in light_indices:
                 # right-to-left C arg evaluation: first draw -> u2 (phi),
                 # second -> u1 (zz). See models/smallpt.py sample_lights.
-                u2, s0, s1 = _mwc_masked(s0, s1, is_diff)
-                u1, s0, s1 = _mwc_masked(s0, s1, is_diff)
+                u2, s0, s1 = rng_masked(s0, s1, is_diff)
+                u1, s0, s1 = rng_masked(s0, s1, is_diff)
                 zz = 1.0 - 2.0 * u1
                 rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
                 phi = jnp.float32(2.0 * np.pi) * u2
@@ -308,8 +338,8 @@ def _make_kernel(
 
             # --- diffuse bounce direction (geomfunc.h:242-265) ---
             if not direct_only:
-                r1u, s0, s1 = _mwc_masked(s0, s1, is_diff)
-                r2u, s0, s1 = _mwc_masked(s0, s1, is_diff)
+                r1u, s0, s1 = rng_masked(s0, s1, is_diff)
+                r2u, s0, s1 = rng_masked(s0, s1, is_diff)
                 ang = jnp.float32(2.0 * np.pi) * r1u
                 r2s = jnp.sqrt(r2u)
                 big_x = jnp.abs(nlx) > 0.1
@@ -359,7 +389,7 @@ def _make_kernel(
             pp = 0.25 + 0.5 * re
             rp = re / pp
             tp = (1.0 - re) / (1.0 - pp)
-            u_rr, s0, s1 = _mwc_masked(s0, s1, is_refr & ~tir)
+            u_rr, s0, s1 = rng_masked(s0, s1, is_refr & ~tir)
             pick_refl = u_rr < pp
             refr_refl = is_refr & (tir | pick_refl)
             refr_trans = is_refr & ~tir & ~pick_refl
@@ -409,6 +439,7 @@ def _pass_impl(
     s0: jnp.ndarray,  # [Rp] uint32 (padded to tile multiple)
     s1: jnp.ndarray,
     acc: jnp.ndarray,  # [3, Rp/128, 128] f32
+    pix_offset: jnp.ndarray | None = None,  # scalar int32, shard base
     *,
     width: int,
     height: int,
@@ -418,6 +449,7 @@ def _pass_impl(
     emissive_flags: Tuple[bool, ...],
     sublanes: int = DEF_SUBLANES,
     interpret: bool = False,
+    rng: str = "mwc",
 ):
     """One fused progressive pass. Returns (s0, s1, acc) updated."""
     n = scene_tab.shape[1]
@@ -430,7 +462,7 @@ def _pass_impl(
 
     kernel = _make_kernel(
         n, light_indices, emissive_flags, width, height, max_depth,
-        direct_only, sublanes, loop_scene=loop_scene,
+        direct_only, sublanes, loop_scene=loop_scene, rng=rng,
     )
     s2 = s0.reshape(rows, LANES)
     s3 = s1.reshape(rows, LANES)
@@ -440,11 +472,15 @@ def _pass_impl(
     # offsets, fine from VMEM.
     scene_space = pltpu.SMEM if loop_scene else pltpu.VMEM
 
+    if pix_offset is None:
+        pix_offset = jnp.int32(0)
+
     out_s0, out_s1, out_acc = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sample idx (1,1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pixel offset (1,1)
             pl.BlockSpec(memory_space=scene_space),  # scene table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # camera
             pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -461,10 +497,11 @@ def _pass_impl(
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
         ],
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        input_output_aliases={4: 0, 5: 1, 6: 2},
         interpret=interpret,
     )(
         sample_idx.reshape(1, 1),
+        jnp.asarray(pix_offset, jnp.int32).reshape(1, 1),
         scene_tab,
         cam_tab,
         s2,
@@ -478,7 +515,7 @@ pt_sample_pass = jax.jit(
     _pass_impl,
     static_argnames=(
         "width", "height", "max_depth", "direct_only", "sublanes",
-        "light_indices", "emissive_flags", "interpret",
+        "light_indices", "emissive_flags", "interpret", "rng",
     ),
 )
 
@@ -487,7 +524,7 @@ pt_sample_pass = jax.jit(
     jax.jit,
     static_argnames=(
         "num_samples", "width", "height", "max_depth", "direct_only",
-        "sublanes", "light_indices", "emissive_flags", "interpret",
+        "sublanes", "light_indices", "emissive_flags", "interpret", "rng",
     ),
 )
 def pt_multi_pass(
@@ -497,6 +534,7 @@ def pt_multi_pass(
     s0: jnp.ndarray,
     s1: jnp.ndarray,
     acc: jnp.ndarray,
+    pix_offset: jnp.ndarray | None = None,
     *,
     num_samples: int,
     width: int,
@@ -507,6 +545,7 @@ def pt_multi_pass(
     emissive_flags: Tuple[bool, ...],
     sublanes: int = DEF_SUBLANES,
     interpret: bool = False,
+    rng: str = "mwc",
 ):
     """``num_samples`` progressive passes fused into ONE device dispatch.
 
@@ -519,11 +558,11 @@ def pt_multi_pass(
     def body(carry, i):
         s0, s1, acc = carry
         s0, s1, acc = _pass_impl(
-            scene_tab, cam_tab, start_sample + i, s0, s1, acc,
+            scene_tab, cam_tab, start_sample + i, s0, s1, acc, pix_offset,
             width=width, height=height, max_depth=max_depth,
             direct_only=direct_only, light_indices=light_indices,
             emissive_flags=emissive_flags, sublanes=sublanes,
-            interpret=interpret,
+            interpret=interpret, rng=rng,
         )
         return (s0, s1, acc), None
 
@@ -545,7 +584,7 @@ def render_pallas(
 
     Returns (image [H, W, 3] float32, (s0, s1, acc, sample) state).
     """
-    from se195_raytracer_tpu.core.rng import init_mwc_state
+    from se195_raytracer_tpu.core.rng import init_state
     from se195_raytracer_tpu.core.types import update_camera
 
     w, h = config.width, config.height
@@ -555,11 +594,13 @@ def render_pallas(
     spp = num_samples if num_samples is not None else config.spp
 
     if state is None:
-        # Seed the REAL pixels exactly like the XLA path (same numpy
-        # stream over (r,)), then pad the tile remainder with the minimal
-        # valid reference seed (2) — keeps Pallas output bit-identical to
-        # the jnp path at every resolution, not just tile multiples.
-        s0, s1 = init_mwc_state((r,), config.seed)
+        # Seed the REAL pixels exactly like the XLA path (same stream over
+        # (r,)), then pad the tile remainder with an inert state — keeps
+        # Pallas output bit-identical to the jnp path at every resolution,
+        # not just tile multiples. Pad value 2 is the minimal valid MWC
+        # seed; for the counter RNG the pad is (key=2, ctr=2), equally
+        # valid and discarded.
+        s0, s1 = init_state(config.rng, (r,), config.seed)
         if rp != r:
             pad = jnp.full((rp - r,), 2, jnp.uint32)
             s0 = jnp.concatenate([s0, pad])
@@ -581,6 +622,7 @@ def render_pallas(
         light_indices=scene.light_indices,
         emissive_flags=emissive_flags,
         interpret=interpret,
+        rng=config.rng,
     )
     img = acc.reshape(3, rp)[:, :r].T.reshape(h, w, 3)
     return img, (s0, s1, acc, start + spp)

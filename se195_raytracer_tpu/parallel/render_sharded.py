@@ -96,3 +96,95 @@ def render_sharded(
     state = render_steps(scene_r, cam_r, state, config, config.spp)
     img = state.accum.reshape(config.height, config.width, 3)
     return img, state
+
+
+def render_pallas_sharded(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh=None,
+    state=None,
+    interpret: bool = False,
+):
+    """Progressive render on the fused Pallas kernel with the ray axis
+    sharded over ``mesh`` via ``shard_map`` — each device runs the kernel
+    on its pixel shard, offset by its absolute base pixel id so RNG/pixel
+    keying (and therefore the image) is identical to a single-device
+    render. Zero collectives; frame assembly happens when the caller
+    materializes the image.
+
+    Returns ([H, W, 3] radiance, (s0, s1, acc, sample) state).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from se195_raytracer_tpu.core.rng import init_state
+    from se195_raytracer_tpu.core.types import update_camera
+    from se195_raytracer_tpu.kernels.pt_kernel import (
+        DEF_SUBLANES,
+        LANES,
+        pack_camera,
+        pack_scene,
+        pt_multi_pass,
+    )
+    from se195_raytracer_tpu.parallel.mesh import RAY_AXIS
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    w, h = config.width, config.height
+    r = w * h
+    tile = DEF_SUBLANES * LANES * n_dev
+    rp = ((r + tile - 1) // tile) * tile
+    shard = rp // n_dev
+
+    if state is None:
+        s0, s1 = init_state(config.rng, (r,), config.seed)
+        if rp != r:
+            pad = jnp.full((rp - r,), 2, jnp.uint32)
+            s0 = jnp.concatenate([s0, pad])
+            s1 = jnp.concatenate([s1, pad])
+        acc = jnp.zeros((3, rp // LANES, LANES), jnp.float32)
+        start = 0
+    else:
+        s0, s1, acc, start = state
+
+    sh = ray_sharding(mesh)
+    s0 = jax.device_put(s0, sh)
+    s1 = jax.device_put(s1, sh)
+    acc = jax.device_put(
+        acc, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, RAY_AXIS, None))
+    )
+    scene_tab = replicate(pack_scene(scene), mesh)
+    cam_tab = replicate(pack_camera(update_camera(camera, w, h)), mesh)
+    emissive_flags = tuple(
+        bool(i in scene.light_indices) for i in range(scene.num_spheres)
+    )
+
+    def body(scene_tab, cam_tab, s0, s1, acc):
+        base = jax.lax.axis_index(RAY_AXIS).astype(jnp.int32) * shard
+        return pt_multi_pass(
+            scene_tab, cam_tab, jnp.int32(start), s0, s1, acc, base,
+            num_samples=config.spp, width=w, height=h,
+            max_depth=config.max_depth,
+            direct_only=(config.integrator == "dl"),
+            light_indices=scene.light_indices,
+            emissive_flags=emissive_flags,
+            interpret=interpret,
+            rng=config.rng,
+        )
+
+    try:
+        from jax import shard_map  # jax >= 0.4.35
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    s0, s1, acc = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(None, RAY_AXIS, None)),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(None, RAY_AXIS, None)),
+        check_vma=False,
+    )(scene_tab, cam_tab, s0, s1, acc)
+    img = acc.reshape(3, rp)[:, :r].T.reshape(h, w, 3)
+    return img, (s0, s1, acc, start + config.spp)

@@ -56,6 +56,24 @@ def test_pallas_loop_kernel_matches_jnp():
     assert (s0_ref != s0_pal).mean() <= 0.01
 
 
+def test_pallas_counter_rng_matches_jnp():
+    """The shard-invariant counter RNG runs in-kernel too; same contract
+    as the MWC mode."""
+    spec = get_scene("cornell")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=64, height=32, spp=1, seed=6, rng="counter")
+    img_ref, st_ref = render(scene, cam, cfg)
+    img_pal, st_pal = render_pallas(scene, cam, cfg, interpret=True)
+    a, b = np.asarray(img_ref), np.asarray(img_pal)
+    close = np.isclose(a, b, rtol=2e-3, atol=2e-3)
+    assert 1 - close.mean() <= 0.03
+    r = cfg.width * cfg.height
+    # Counter streams: s1 is the per-pixel draw counter.
+    s1_ref = np.asarray(st_ref.s1)
+    s1_pal = np.asarray(st_pal[1])[:r]
+    assert (s1_ref != s1_pal).mean() <= 0.01
+
+
 def test_whitted_pallas_matches_jnp():
     """The fused Whitted heap kernel must agree with the jnp tree tracer
     (models/whitted.py) up to float reassociation — same tree, heap

@@ -31,6 +31,25 @@ def mesh():
     return make_mesh(n_devices=8)
 
 
+def test_sharded_pallas_render_bitwise_equals_single_device(mesh):
+    """The fused Pallas kernel under shard_map (8 shards, absolute pixel
+    base offsets) must reproduce the single-device Pallas render exactly:
+    identical seeds per pixel, identical draw streams, zero collectives."""
+    from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
+    from se195_raytracer_tpu.parallel.render_sharded import (
+        render_pallas_sharded,
+    )
+
+    spec = get_scene("cornell")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=64, height=32, spp=2, seed=11)
+    img_1, _ = render_pallas(scene, cam, cfg, interpret=True)
+    img_8, _ = render_pallas_sharded(
+        scene, cam, cfg, mesh=mesh, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_8))
+
+
 def test_sharded_render_bitwise_equals_single_device(mesh):
     """Sharding the pixel axis over 8 devices must not change a single bit
     of the output (RNG is keyed per-pixel, forward needs no collectives)."""

@@ -14,15 +14,19 @@ import time
 
 
 def timed(fn):
-    import jax
+    """Best-of-3 wall time ending in a full host fetch: on the axon
+    (tunneled-TPU) platform ``block_until_ready`` does NOT actually block,
+    so only a device->host copy is a trustworthy synchronization point.
+    Includes the fixed tunnel-readback cost (~0.1 s) — see bench.py for
+    the marginal-rate methodology that subtracts it."""
+    import numpy as np
 
-    out = fn()
-    jax.block_until_ready(out)
+    np.asarray(fn())
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        np.asarray(out)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -50,7 +54,8 @@ def main():
         ("cornell_640x480_dl", "cornell", 640 // s, 480 // s, 4, "dl", True),
         ("cornell_512x512_8spp_pt", "cornell", 512 // s, 512 // s, 8, "pt", True),
         ("caustic3_640x480_pt", "caustic3", 640 // s, 480 // s, 4, "pt", True),
-        ("complex783_256x256_pt", "complex", 256 // s, 256 // s, 2, "pt", False),
+        # 783 spheres: the fori_loop Pallas kernel (scene in SMEM).
+        ("complex783_256x256_pt", "complex", 256 // s, 256 // s, 2, "pt", True),
     ]
     for name, scene_name, w, h, spp, integ, pallas in smallpt_cfgs:
         spec = get_scene(scene_name)
@@ -79,25 +84,33 @@ def main():
         )
         print(json.dumps(results[-1]), flush=True)
 
+    from se195_raytracer_tpu.kernels.whitted_kernel import render_whitted_pallas
+
     for name in ["room", "grid"]:
-        scene = WHITTED_SCENES[name]()
-        w, h = 800 // s, 600 // s
+        for pallas in (False, True):
+            scene = WHITTED_SCENES[name]()
+            w, h = 800 // s, 600 // s
 
-        def run(scene=scene, w=w, h=h):
-            return render_whitted_scene(scene, width=w, height=h)
+            if pallas:
+                def run(scene=scene, w=w, h=h):
+                    return render_whitted_pallas(scene, width=w, height=h)
+            else:
+                def run(scene=scene, w=w, h=h):
+                    return render_whitted_scene(scene, width=w, height=h)
 
-        elapsed = timed(run)
-        rays = w * h * 9
-        results.append(
-            {
-                "config": f"whitted_{name}_{w}x{h}_3x3",
-                "n_prims": scene.num_prims,
-                "rays": rays,
-                "elapsed_s": round(elapsed, 5),
-                "rays_per_sec": round(rays / elapsed, 1),
-            }
-        )
-        print(json.dumps(results[-1]), flush=True)
+            elapsed = timed(run)
+            rays = w * h * 9
+            results.append(
+                {
+                    "config": f"whitted_{name}_{w}x{h}_3x3",
+                    "n_prims": scene.num_prims,
+                    "rays": rays,
+                    "elapsed_s": round(elapsed, 5),
+                    "rays_per_sec": round(rays / elapsed, 1),
+                    "pallas": pallas,
+                }
+            )
+            print(json.dumps(results[-1]), flush=True)
 
     summary = {
         "device": str(jax.devices()[0]),
