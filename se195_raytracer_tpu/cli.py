@@ -39,6 +39,13 @@ def _add_render_args(p: argparse.ArgumentParser):
         action="store_true",
         help="use the fused Pallas TPU kernel (fast path)",
     )
+    p.add_argument(
+        "--profile",
+        default="",
+        metavar="DIR",
+        help="capture a jax.profiler trace of the render into DIR "
+        "(view with TensorBoard/Perfetto)",
+    )
 
 
 def _load_scene(name: str):
@@ -75,27 +82,30 @@ def cmd_render(args) -> int:
         ray_tile=args.ray_tile,
         use_pallas=args.pallas,
     )
+    from se195_raytracer_tpu.utils.profiling import maybe_trace
+
     t0 = time.perf_counter()
-    if args.integrator == "whitted":
-        from se195_raytracer_tpu.models.whitted import render_whitted
-        from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
+    with maybe_trace(args.profile):
+        if args.integrator == "whitted":
+            from se195_raytracer_tpu.models.whitted import render_whitted
+            from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
 
-        name = args.scene if args.scene in WHITTED_SCENES else "room"
-        img = np.asarray(render_whitted(name, cfg))
-        img_u8 = np.clip(img, 0, 255).astype(np.uint8)
-    elif args.integrator == "whitted5":
-        from se195_raytracer_tpu.models.whitted5 import render_whitted5
-        from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
+            name = args.scene if args.scene in WHITTED_SCENES else "room"
+            img = np.asarray(render_whitted(name, cfg))
+            img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+        elif args.integrator == "whitted5":
+            from se195_raytracer_tpu.models.whitted5 import render_whitted5
+            from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
 
-        img = np.asarray(
-            render_whitted5(room5_scene(), width=args.width, height=args.height, spp=args.spp)
-        )
-        img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
-    else:
-        spec = _load_scene(args.scene)
-        img, _ = render(spec.to_scene(), spec.to_camera(), cfg)
-        img = np.asarray(img)
-        img_u8 = to_int_np(img).astype(np.uint8)
+            img = np.asarray(
+                render_whitted5(room5_scene(), width=args.width, height=args.height, spp=args.spp)
+            )
+            img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        else:
+            spec = _load_scene(args.scene)
+            img, _ = render(spec.to_scene(), spec.to_camera(), cfg)
+            img = np.asarray(img)
+            img_u8 = to_int_np(img).astype(np.uint8)
     elapsed = time.perf_counter() - t0
     rays = args.width * args.height * args.spp
     print(
@@ -111,9 +121,11 @@ def cmd_render(args) -> int:
 
 def cmd_bench(args) -> int:
     import jax
+    import numpy as np
 
     from se195_raytracer_tpu.core.config import RenderConfig
     from se195_raytracer_tpu.driver.render import render
+    from se195_raytracer_tpu.utils.profiling import maybe_trace
 
     spec = _load_scene(args.scene)
     cfg = RenderConfig(
@@ -127,14 +139,17 @@ def cmd_bench(args) -> int:
         use_pallas=args.pallas,
     )
     scene, camera = spec.to_scene(), spec.to_camera()
+    # Sync via host fetch: block_until_ready does not reliably block on
+    # the axon (tunneled-TPU) platform.
     img, state = render(scene, camera, cfg)
-    img.block_until_ready()
+    np.asarray(img)
     best = float("inf")
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        img, state = render(scene, camera, cfg, state=state)
-        img.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+    with maybe_trace(args.profile):
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            img, state = render(scene, camera, cfg, state=state)
+            np.asarray(img)
+            best = min(best, time.perf_counter() - t0)
     rays = args.width * args.height * args.spp
     print(
         json.dumps(
