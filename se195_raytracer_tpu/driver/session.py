@@ -50,6 +50,25 @@ class RenderSession:
         self._image = np.asarray(img)
         return self._image
 
+    def step_for(self, budget_s: float = 0.1) -> np.ndarray:
+        """Adaptive multi-launch batching (smallptGPU.cpp:739-755): below
+        20 accumulated samples, one pass per call for fast interactive
+        feedback; past that, keep adding (geometrically growing) batches
+        of passes until the wall-clock budget is spent — the reference's
+        re-launch-until-threshold loop, with the device-side sample scan
+        replacing individual kernel launches."""
+        import time as _time
+
+        if self.current_sample < 20:
+            return self.step(1)
+        t0 = _time.perf_counter()
+        img = self.step(1)
+        k = 1
+        while _time.perf_counter() - t0 < budget_s:
+            k = min(2 * k, 64)
+            img = self.step(k)
+        return img
+
     @property
     def current_sample(self) -> int:
         return int(self.state.sample)

@@ -18,7 +18,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# RUN_TPU_TESTS=1 leaves the real platform in place for tests/test_tpu.py
+# (run ONLY that file with the flag — the rest of the suite expects the
+# 8-virtual-device CPU backend).
+if not os.environ.get("RUN_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the suite is dominated by XLA CPU compiles of
 # the unrolled integrators; caching makes re-runs fast. (The cache-stall

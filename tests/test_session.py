@@ -35,6 +35,19 @@ def test_edit_keeps_seeds_refresh_resets_them():
     np.testing.assert_array_equal(np.asarray(s.state.s0), np.asarray(s2.state.s0))
 
 
+def test_step_for_adaptive_batching():
+    """step_for: one pass per call before 20 samples (interactive phase),
+    multi-pass batches within the budget after (smallptGPU.cpp:739-755)."""
+    s = make_session()
+    s.step_for(0.05)
+    assert s.current_sample == 1  # below 20: exactly one pass
+    s.step(25)
+    before = s.current_sample
+    img = s.step_for(0.02)
+    assert s.current_sample > before  # at least one pass, maybe batches
+    assert img.shape == (16, 16, 3)
+
+
 def test_sphere_selection_and_move():
     s = make_session()
     s.key("+")

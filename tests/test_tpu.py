@@ -1,0 +1,83 @@
+"""Real-TPU regression gates (skipped unless RUN_TPU_TESTS=1; the CPU
+suite pins the platform, so run these as
+``RUN_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q`` in an
+environment with the TPU attached — serialize with other TPU use).
+
+These exist because interpret-mode Pallas tests validate semantics but
+NOT Mosaic lowering, and XLA-TPU itself differs from XLA-CPU (bf16 MXU
+dots — the self-shadowing bug PARITY.md documents was invisible to the
+CPU suite).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    if not os.environ.get("RUN_TPU_TESTS"):
+        pytest.skip("RUN_TPU_TESTS not set")
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform in ("cpu",):
+        pytest.skip("no TPU attached")
+    return dev
+
+
+def test_pt_pallas_matches_xla_on_tpu(tpu):
+    """Fused PT kernel vs XLA path ON TPU: same contract as the
+    interpret-mode test — identical RNG streams up to branch flips."""
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.driver.render import render
+    from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
+    from se195_raytracer_tpu.scenes.registry import get_scene
+
+    spec = get_scene("cornell")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=64, height=32, spp=1, seed=4)
+    img_x, st_x = render(scene, cam, cfg)
+    img_p, st_p = render_pallas(scene, cam, cfg)
+    a, b = np.asarray(img_x), np.asarray(img_p)
+    close = np.isclose(a, b, rtol=2e-3, atol=2e-3)
+    assert 1 - close.mean() <= 0.03
+    r = cfg.width * cfg.height
+    s0x, s0p = np.asarray(st_x.s0), np.asarray(st_p[0])[:r]
+    assert (s0x != s0p).mean() <= 0.01
+
+
+def test_whitted_pallas_matches_xla_on_tpu(tpu):
+    """Whitted heap kernel vs XLA tree path ON TPU — the gate that would
+    have caught the bf16 einsum self-shadowing bug."""
+    from se195_raytracer_tpu.kernels.whitted_kernel import render_whitted_pallas
+    from se195_raytracer_tpu.models.whitted import render_whitted_scene
+    from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
+
+    scene = WHITTED_SCENES["room"]()
+    kw = dict(width=80, height=60, supersample=2, trace_depth=4)
+    a = np.asarray(render_whitted_scene(scene, **kw))
+    b = np.asarray(render_whitted_pallas(scene, **kw))
+    assert np.isnan(a).sum() == 0 and np.isnan(b).sum() == 0
+    # 0..255 scale; near-tie winner flips allowed on few pixels.
+    d = np.abs(a - b).max(axis=-1)
+    assert (d > 1.0).mean() <= 0.005
+    assert np.abs(a - b).mean() <= 0.05
+
+
+def test_large_scene_loop_kernel_on_tpu(tpu):
+    """783-sphere complex scene through the SMEM fori_loop kernel."""
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.driver.render import render
+    from se195_raytracer_tpu.scenes.registry import get_scene
+
+    spec = get_scene("complex")
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=128, height=96, spp=2, use_pallas=True)
+    img, _ = render(scene, cam, cfg)
+    a = np.asarray(img)
+    assert np.isfinite(a).all()
+    assert a.max() > 0.01  # scene is lit
