@@ -40,6 +40,12 @@ def _add_render_args(p: argparse.ArgumentParser):
         help="use the fused Pallas TPU kernel (fast path)",
     )
     p.add_argument(
+        "--adaptive",
+        action="store_true",
+        help="whitted5 only: adaptive 1-vs-4-ray supersampling "
+        "(raytracer5 Engine::Render, raytracer.cpp:481-535)",
+    )
+    p.add_argument(
         "--profile",
         default="",
         metavar="DIR",
@@ -94,12 +100,27 @@ def cmd_render(args) -> int:
             img = np.asarray(render_whitted(name, cfg))
             img_u8 = np.clip(img, 0, 255).astype(np.uint8)
         elif args.integrator == "whitted5":
-            from se195_raytracer_tpu.models.whitted5 import render_whitted5
+            from se195_raytracer_tpu.models.whitted5 import (
+                render_whitted5,
+                render_whitted5_adaptive,
+            )
             from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
 
-            img = np.asarray(
-                render_whitted5(room5_scene(), width=args.width, height=args.height, spp=args.spp)
-            )
+            if args.adaptive:
+                img, frac = render_whitted5_adaptive(
+                    room5_scene(), width=args.width, height=args.height,
+                    seed=args.seed,
+                )
+                img = np.asarray(img)
+                print(
+                    f"adaptive supersampling: {frac * 100:.1f}% edge pixels "
+                    "got 4 rays",
+                    file=sys.stderr,
+                )
+            else:
+                img = np.asarray(
+                    render_whitted5(room5_scene(), width=args.width, height=args.height, spp=args.spp)
+                )
             img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
         else:
             spec = _load_scene(args.scene)

@@ -36,9 +36,13 @@ unrolled reflect/refract tree over masked ray lanes:
 
 Not carried over: the regular-grid accelerator + ray-ID mailboxing
 (FindNearest raytracer.cpp:53-221) — brute-force [rays, prims] is the
-right shape on TPU for N <= ~1k; and the CPU-serial adaptive
-supersampling / 100ms time slicing (Render:481-535), replaced by uniform
-supersampling and progressive passes.
+right shape on TPU for N <= ~1k; and the 100ms cooperative time slicing
+(Render:526-531), a Windows-message-pump artifact. The reference's
+adaptive 1-vs-4-ray supersampling (Render:481-535) IS carried over, as a
+two-phase compacted renderer (``render_whitted5_adaptive``): full-frame
+primary pass -> primitive-change edge mask -> the 3 extra sub-pixel rays
+traced only for the compacted edge-pixel set (host-gathered, padded to a
+static bucket so jit shapes stay stable).
 """
 
 from __future__ import annotations
@@ -500,15 +504,16 @@ def whitted5_trace(
     return acc_total, state
 
 
-def camera_rays5(
+def camera_frame5(
     width: int,
     height: int,
     pos=(0.0, 0.0, 0.0),
     target=(0.0, 0.0, 1.0),
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Primary rays via the look-at matrix camera (Engine::InitRender,
-    raytracer.cpp:413-451): eye at (0,0,-5), 8x6 screen plane at z=0 in
-    camera space, transformed to world space. Row 0 = top of image."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Look-at camera frame (Engine::InitRender, raytracer.cpp:413-451):
+    eye at (0,0,-5), 8x6 screen plane at z=0 in camera space, transformed
+    to world space. Returns (origin, p1, dx, dy) as host float32 arrays —
+    screen position of pixel (col, row) is ``p1 + col*dx + row*dy``."""
     pos = np.asarray(pos, np.float32)
     target = np.asarray(target, np.float32)
     z = target - pos
@@ -529,8 +534,26 @@ def camera_rays5(
     p4 = xf((-4, -3, 0))
     dx = (p2 - p1) / width
     dy = (p4 - p1) / height
-    cols = np.arange(width, dtype=np.float32) + 0.5
-    rows = np.arange(height, dtype=np.float32) + 0.5
+    return (
+        origin.astype(np.float32), p1.astype(np.float32),
+        dx.astype(np.float32), dy.astype(np.float32),
+    )
+
+
+def camera_rays5(
+    width: int,
+    height: int,
+    pos=(0.0, 0.0, 0.0),
+    target=(0.0, 0.0, 1.0),
+    sub: Tuple[float, float] = (0.5, 0.5),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-frame primary rays; ``sub`` is the sub-pixel offset in pixel
+    units (0.5, 0.5 = pixel centers; the reference's scanline renderer
+    samples at (0, 0) — the raw ``lpos``, raytracer.cpp:493-503).
+    Row 0 = top of image."""
+    origin, p1, dx, dy = camera_frame5(width, height, pos, target)
+    cols = np.arange(width, dtype=np.float32) + np.float32(sub[0])
+    rows = np.arange(height, dtype=np.float32) + np.float32(sub[1])
     screen = (
         p1[None, None]
         + cols[None, :, None] * dx[None, None]
@@ -566,3 +589,103 @@ def render_whitted5(
         col, state = whitted5_trace(scene, o, d, state, trace_depth)
         acc = acc + col
     return (acc / spp).reshape(height, width, 3)
+
+
+# Extra sub-pixel offsets fired on a primitive-change edge, in pixel
+# units relative to the primary sample (Engine::Render,
+# raytracer.cpp:500-503: lpos - 0.5 dx, lpos - 0.5 dy, lpos - both).
+ADAPTIVE_OFFSETS = ((-0.5, 0.0), (0.0, -0.5), (-0.5, -0.5))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "trace_depth", "seed")
+)
+def _adaptive_primary(scene, width, height, trace_depth, seed):
+    """Phase 1: one primary ray per pixel at the reference's raw ``lpos``
+    + the scan-order primitive-change edge mask (prim != lastprim,
+    raytracer.cpp:499; lastprim carries across scanline ends and starts
+    as NULL, which equals our miss code -1)."""
+    from se195_raytracer_tpu.core.rng import init_mwc_state
+
+    o, d = camera_rays5(width, height, sub=(0.0, 0.0))
+    r = o.shape[0]
+    state = init_mwc_state((r,), seed)
+    col, state = whitted5_trace(scene, o, d, state, trace_depth)
+    idx, _, _ = find_nearest(scene, o, d)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), idx[:-1]])
+    edge = idx != prev
+    return col, edge, state
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "trace_depth", "padded")
+)
+def _adaptive_extra(
+    scene, col0, edge, sel, n_edge, state, width, height, trace_depth, padded
+):
+    """Phase 2: trace the 3 extra sub-pixel rays ONLY for the compacted
+    edge-pixel index set ``sel`` (padded to the static size ``padded``;
+    rows >= n_edge are inert), then blend: edge pixels average the 4
+    samples, interior pixels keep the single primary sample
+    (the 64-vs-256 scale of raytracer.cpp:506-520, pre-tonemap)."""
+    origin, p1, dx, dy = camera_frame5(width, height)
+    colx = (sel % width).astype(jnp.float32)
+    rowy = (sel // width).astype(jnp.float32)
+    st = jax.tree.map(lambda a: a[sel], state)
+    extra = jnp.zeros((padded, 3), jnp.float32)
+    o = jnp.broadcast_to(jnp.asarray(origin), (padded, 3))
+    for fx, fy in ADAPTIVE_OFFSETS:
+        screen = (
+            jnp.asarray(p1)
+            + (colx + fx)[:, None] * jnp.asarray(dx)
+            + (rowy + fy)[:, None] * jnp.asarray(dy)
+        )
+        dirs = screen - o
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        c, st = whitted5_trace(scene, o, dirs, st, trace_depth)
+        extra = extra + c
+    live = (jnp.arange(padded) < n_edge)[:, None]
+    summed = col0.at[sel].add(jnp.where(live, extra, 0.0))
+    return jnp.where(edge[:, None], summed * 0.25, col0)
+
+
+def render_whitted5_adaptive(
+    scene: Whitted5Scene,
+    width: int = 320,
+    height: int = 240,
+    trace_depth: int = TRACEDEPTH5,
+    seed: int = 0,
+    min_bucket: int = 4096,
+):
+    """Adaptive 1-vs-4-ray supersampling (Engine::Render,
+    raytracer.cpp:481-535), TPU-style.
+
+    The reference walks pixels serially and fires 3 extra rays whenever
+    the primary hit's primitive differs from the previous pixel's. A
+    serial walk is the wrong shape for a vector machine, but the *work
+    split* maps cleanly to two fixed-shape phases: a full-frame primary
+    pass computes colors + the scan-order edge mask on device, the edge
+    pixels are compacted on host (the only host round-trip), and a second
+    jitted pass traces 3 rays per edge pixel at a power-of-two padded
+    size (>= min_bucket) so recompiles stay O(log max_edges).
+
+    Returns ([H, W, 3] float32 image, edge fraction in [0, 1]).
+    """
+    col0, edge, state = _adaptive_primary(
+        scene, width, height, trace_depth, seed
+    )
+    edge_np = np.asarray(edge)
+    sel_np = np.nonzero(edge_np)[0]
+    n_edge = int(sel_np.size)
+    if n_edge == 0:
+        return col0.reshape(height, width, 3), 0.0
+    padded = max(min_bucket, 1 << (n_edge - 1).bit_length())
+    sel = jnp.asarray(
+        np.concatenate([sel_np, np.zeros(padded - n_edge, np.int64)]),
+        jnp.int32,
+    )
+    img = _adaptive_extra(
+        scene, col0, edge, sel, jnp.int32(n_edge), state,
+        width, height, trace_depth, padded,
+    )
+    return img.reshape(height, width, 3), n_edge / edge_np.size

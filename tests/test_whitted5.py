@@ -150,3 +150,82 @@ def test_glossy_varies_with_rng_but_perfect_does_not():
     m1, _ = whitted5_trace(mirror, o, d, init_mwc_state((1,), 1))
     m2, _ = whitted5_trace(mirror, o, d, init_mwc_state((1,), 2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def _deterministic_scene():
+    """Point (sphere) light, zero drefl: no RNG draws affect the image,
+    so subset-traced rays equal full-frame-traced rays exactly."""
+    b = Whitted5Builder()
+    b.plane((0.0, 1.0, 0.0), 4.4, color=(0.4, 0.3, 0.3), diff=1.0, spec=0.0)
+    b.sphere((1.0, -0.8, 3.0), 2.5, color=(0.7, 0.7, 1.0), refl=0.4, diff=0.2)
+    b.sphere((-5.5, -0.5, 7.0), 2.0, color=(0.7, 0.7, 1.0), refl=0.7, diff=0.1)
+    b.sphere((0.0, 5.0, 5.0), 0.1, color=(0.6, 0.6, 0.6), is_light=True)
+    return b.build()
+
+
+def test_adaptive_supersampling_matches_bruteforce():
+    """render_whitted5_adaptive == the reference's Render() semantics
+    (raytracer.cpp:481-535): edge pixels (primary prim != scan-order
+    predecessor's) average 4 sub-pixel rays, interior pixels keep the
+    single primary sample."""
+    from se195_raytracer_tpu.models.whitted5 import (
+        ADAPTIVE_OFFSETS,
+        camera_rays5,
+        render_whitted5_adaptive,
+    )
+
+    from se195_raytracer_tpu.models.whitted5 import (
+        _adaptive_extra,
+        _adaptive_primary,
+    )
+
+    scene = _deterministic_scene()
+    w, h = 48, 36
+    img, frac = render_whitted5_adaptive(scene, width=w, height=h, seed=3)
+    assert 0.0 < frac < 1.0
+    assert np.isfinite(np.asarray(img)).all()
+
+    # Edge mask semantics, independently in numpy: primary prim differs
+    # from the scan-order predecessor's (lastprim carries across scanline
+    # ends; initial NULL == miss code -1).
+    col0, edge, state = _adaptive_primary(scene, w, h, 4, 3)
+    o, d = camera_rays5(w, h, sub=(0.0, 0.0))
+    idx = np.asarray(find_nearest(scene, o, d)[0])
+    prev = np.concatenate([[-1], idx[:-1]])
+    np.testing.assert_array_equal(np.asarray(edge), idx != prev)
+
+    # Expected image: run phase 2 over the FULL pixel set (so the extra
+    # rays use the identical jnp math), then blend with the same mask.
+    # Rays are RNG-independent here (point light, drefl=0), so tracing
+    # every pixel vs only edge pixels must agree bit-for-bit.
+    r = w * h
+    padded = 4096
+    sel_all = jnp.asarray(
+        np.concatenate([np.arange(r), np.zeros(padded - r)]), jnp.int32
+    )
+    img_all = _adaptive_extra(
+        scene, col0, jnp.ones((r,), bool), sel_all, jnp.int32(r), state,
+        w, h, 4, padded,
+    )
+    want = np.where(
+        np.asarray(edge)[:, None], np.asarray(img_all), np.asarray(col0)
+    ).reshape(h, w, 3)
+    np.testing.assert_allclose(np.asarray(img), want, rtol=1e-6, atol=1e-7)
+
+    # Interior pixels keep the single primary sample exactly.
+    flat = np.asarray(img).reshape(r, 3)
+    np.testing.assert_array_equal(flat[~np.asarray(edge)],
+                                  np.asarray(col0)[~np.asarray(edge)])
+    # The edge mask really is sparse on this scene (that's the point of
+    # the adaptive split): fewer than a third of pixels supersampled.
+    assert frac < 0.34
+
+
+def test_adaptive_supersampling_room_smoke():
+    """Stochastic scene (area lights): shapes/finiteness + edge fraction."""
+    from se195_raytracer_tpu.models.whitted5 import render_whitted5_adaptive
+
+    img, frac = render_whitted5_adaptive(room5_scene(), width=40, height=30)
+    assert img.shape == (30, 40, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert 0.0 < frac < 1.0
