@@ -11,13 +11,41 @@ scratch array indexed by heap position, ONE compiled node body run as a
 ``fori_loop`` over the heap (parents strictly precede children, so every
 node's state is written before it is read), the scene resident on-chip.
 
+Dead-subtree skipping: the reference's queue only ever processes rays
+that were actually spawned (PUSH_RAY, raytracer_kernel.cl:34-44); the
+full-width heap walk must win that back or it does 63 nodes of work for
+the ~2-6 a typical tile needs. Each node owns one scalar SMEM liveness
+flag, written when its parent spawns it (a single vector->scalar ``max``
+reduction per child) and read as a cheap scalar ``pl.when`` predicate —
+whole dead subtrees cost one scalar test per node. Ray tiles are
+spatially coherent (consecutive subsamples of consecutive pixels), so
+wall/floor regions — the bulk of the frame — kill their subtree at
+depth 1 and the tile does O(live) work like the reference's queue.
+
+Node state is 13 planes: origin(3) direction(3) V(3) wtr(3) ridx(1).
+``wtr`` = scalar-weight x Beer-transparency (weight is >0 for every
+spawned ray, transparency is an exp() product, so ``wtr.r > 0`` IS the
+per-lane validity predicate) and ``V`` = the node's finished
+contribution factor: contribution = V * shade_color. The reference's
+per-type switch (raytracer_kernel.cl:317-328 — ORIGIN -> 1, REFLECTED ->
+parent_color * transparency, REFRACTED -> transparency, each times the
+scalar ``weight``) is folded in at spawn time:
+
+    V_refl = refl * parent_hit_color * wtr      wtr_refl = refl * wtr
+    V_refr = wtr * beer                          wtr_refr = V_refr
+
+which both shrinks the per-node scratch DMA and makes the accumulation
+body type-independent.
+
 Semantics are those of models/whitted.py (which carries the reference
 citations): ascending order-dependent nearest fold with the optional
 3.2.03 ``hit_bias``, hard point-shadows toward sphere-light centers,
-N.L diffuse + Phong^20 specular, Beer transparency on the parent ray's
-travel distance, reflection tint by the immediate parent's color only.
-Accumulation order differs from the depth-first jnp tracer (heap vs
-depth-first), so agreement is float-reassociation-level, not bitwise.
+N.L diffuse + Phong^20 specular (the powr lowered to a 5-multiply
+square chain — x^20 is integer-exponent, no transcendental needed),
+Beer transparency on the parent ray's travel distance, reflection tint
+by the immediate parent's color only. Accumulation order differs from
+the depth-first jnp tracer (heap vs depth-first), so agreement is
+float-reassociation-level, not bitwise.
 
 Scene table (``pack_whitted_scene``): rows
 [0 unused(type) | 1-3 plane normal | 4 plane depth | 5-7 center |
@@ -52,12 +80,10 @@ DEF_SUBLANES = 8  # 8 x 128 = 1024 rays per tile (deep trees: register pressure)
 # Scratch state planes per tree node.
 _ST_O = 0  # 0-2 origin
 _ST_D = 3  # 3-5 direction
-_ST_W = 6  # weight
-_ST_PCOL = 7  # 7-9 parent color
-_ST_RIDX = 10  # refractive index the ray travels in
-_ST_TRANSP = 11  # 11-13 accumulated Beer transparency
-_ST_VALID = 14
-_ST_N = 15
+_ST_V = 6  # 6-8 contribution factor (weight x type-switch factor)
+_ST_WTR = 9  # 9-11 weight x Beer transparency; wtr.r > 0 <=> lane valid
+_ST_RIDX = 12  # refractive index the ray travels in
+_ST_N = 13
 
 
 def pack_whitted_scene(scene: WhittedScene) -> jnp.ndarray:
@@ -82,6 +108,16 @@ def pack_whitted_scene(scene: WhittedScene) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
+def _pow20(x):
+    """x^20 for x >= 0 as a multiply chain (x^5 squared twice) — the
+    reference's powr(dot, 20) (raytracer_kernel.cl:232) has an integer
+    exponent, so no exp/log transcendental is needed."""
+    x2 = x * x
+    x5 = x2 * x2 * x
+    x10 = x5 * x5
+    return x10 * x10
+
+
 def _make_whitted_kernel(
     n_prims: int,
     ptype: Tuple[int, ...],
@@ -90,16 +126,67 @@ def _make_whitted_kernel(
     hit_bias: float,
     sublanes: int,
     debug_tap: str | None = None,
+    camgen: Tuple[int, int, int] | None = None,
 ):
+    """``camgen=(width, height, supersample)`` drops the rays input and
+    generates the fixed-window camera rays in-kernel from the ray linear
+    index (whitted_camera_rays semantics, raytracer_kernel.cl:267-305).
+    Host ray-gen + upload of [6, W*H*ss^2] floats costs ~75x the trace
+    itself over the tunnel — primary rays are a formula, not data."""
     m_nodes = 2 ** (trace_depth + 1) - 1
     eps = float(np.float32(W_EPSILON))
     bias = float(np.float32(hit_bias))
     big = float(np.finfo(np.float32).max)
 
-    def kernel(scene_ref, rays_ref, out_ref, st_ref):
+    def kernel(scene_ref, *refs):
+        if camgen is None:
+            rays_ref, out_ref, st_ref, live_ref = refs
+        else:
+            out_ref, st_ref, live_ref = refs
         shape = (sublanes, LANES)
         zero = jnp.zeros(shape, jnp.float32)
         one = jnp.ones(shape, jnp.float32)
+
+        def primary_rays():
+            if camgen is None:
+                return tuple(rays_ref[k] for k in range(6))
+            w, h, ss = camgen
+            ss2 = ss * ss
+            # Window / camera constants (raytracer_kernel.cl:267-281).
+            wx1, wy1 = -3.0, 2.25
+            dxs = np.float32(6.0 / w)
+            dys = np.float32(-4.5 / h)
+            cam = (0.0, 0.25, -7.0)
+            lin = (
+                pl.program_id(0) * (sublanes * LANES)
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            )
+            pix = lin // ss2
+            sub = lin - pix * ss2
+            txi = sub // ss
+            tyi = sub - txi * ss
+            x = pix % w
+            y = pix // w
+            half = ss // 2
+            sx = (
+                jnp.float32(wx1)
+                + x.astype(jnp.float32) * dxs
+                + (txi - half).astype(jnp.float32) * jnp.float32(dxs / 2.0)
+            )
+            sy = (
+                jnp.float32(wy1)
+                + y.astype(jnp.float32) * dys
+                + (tyi - half).astype(jnp.float32) * jnp.float32(dys / 2.0)
+            )
+            rdx = sx - jnp.float32(cam[0])
+            rdy = sy - jnp.float32(cam[1])
+            rdz = -jnp.float32(cam[2]) + zero
+            inv = 1.0 / jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+            ox = jnp.float32(cam[0]) + zero
+            oy = jnp.float32(cam[1]) + zero
+            oz = jnp.float32(cam[2]) + zero
+            return ox, oy, oz, rdx * inv, rdy * inv, rdz * inv
 
         def sc(f, j):
             return scene_ref[f, j]
@@ -248,8 +335,7 @@ def _make_whitted_kernel(
                 dvr = dx * rvx + dy * rvy + dz * rvz
                 sterm = jnp.where(
                     (st["spec"] > 0.0) & (dvr > 0.0),
-                    jnp.power(jnp.maximum(dvr, 0.0), jnp.float32(20.0))
-                    * st["spec"] * sh,
+                    _pow20(jnp.maximum(dvr, 0.0)) * st["spec"] * sh,
                     0.0,
                 )
                 ar = ar + sterm * sc(10, li)
@@ -262,17 +348,11 @@ def _make_whitted_kernel(
             colb = jnp.where(hit_is_light, st["colb"], jnp.where(hit, ab, 0.0))
             return st, hit, dist_safe, (px, py, pz), (nx, ny, nz), (colr, colg, colb)
 
-        # --- root node state from the primary rays ---
-        # Node state is read/written as ONE [_ST_N, S, 128] slice per node:
-        # dynamic VMEM indexing costs a DMA per access, so batching the 15
-        # planes into a single slice is the difference between 3 and ~45
-        # dynamic accesses per node.
         if debug_tap is not None:
             # Kernel debug hook (the reference's DEBUGGING printf,
             # raytracer_kernel.cl:1-6, reborn): emit an intermediate
             # triple for the primary rays instead of tracing the tree.
-            ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
-            dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+            ox, oy, oz, dx, dy, dz = primary_rays()
             st = nearest(ox, oy, oz, dx, dy, dz)
             if debug_tap == "tres":
                 taps = (st["t"], st["res"], st["is_plane"])
@@ -286,117 +366,126 @@ def _make_whitted_kernel(
             out_ref[0], out_ref[1], out_ref[2] = taps
             return
 
+        # --- root node state from the primary rays ---
+        # Node state is read/written as ONE [_ST_N, S, 128] slice per node:
+        # dynamic VMEM indexing costs a DMA per access, so batching the 13
+        # planes into a single slice is the difference between 3 and ~39
+        # dynamic accesses per node.
+        prim = primary_rays()
         for k in range(6):
-            st_ref[0, k] = rays_ref[k]
+            st_ref[0, k] = prim[k]
         for k in range(6, _ST_N):
             st_ref[0, k] = one
 
+        # Liveness flags: only the root starts live; a node's flag is
+        # written by its parent at spawn time (dead parents never write,
+        # so the zero-init stands for their whole subtree).
+        for k in range(m_nodes):
+            live_ref[k] = jnp.float32(1.0 if k == 0 else 0.0)
+
+        out_ref[0] = zero
+        out_ref[1] = zero
+        out_ref[2] = zero
+
         # --- heap walk: parents strictly precede children ---
-        # (An all-lanes-invalid subtree skip via pl.when was tried and
-        # REVERTED: the per-node any() reduction + predication cost ~6x
-        # more than the masked full-width work it saved.)
-        def node(i, acc):
-            accr, accg, accb = acc
-            ns = st_ref[i]  # [_ST_N, S, 128] single dynamic read
-            ox, oy, oz = ns[_ST_O], ns[_ST_O + 1], ns[_ST_O + 2]
-            dx, dy, dz = ns[_ST_D], ns[_ST_D + 1], ns[_ST_D + 2]
-            weight = ns[_ST_W]
-            pcr, pcg, pcb = ns[_ST_PCOL], ns[_ST_PCOL + 1], ns[_ST_PCOL + 2]
-            ridx = ns[_ST_RIDX]
-            tr, tg, tb = ns[_ST_TRANSP], ns[_ST_TRANSP + 1], ns[_ST_TRANSP + 2]
-            valid = ns[_ST_VALID] > 0.5
+        def node(i, _):
+            @pl.when(live_ref[i] > 0.5)
+            def _live_node():
+                ns = st_ref[i]  # [_ST_N, S, 128] single dynamic read
+                ox, oy, oz = ns[_ST_O], ns[_ST_O + 1], ns[_ST_O + 2]
+                dx, dy, dz = ns[_ST_D], ns[_ST_D + 1], ns[_ST_D + 2]
+                vr, vg, vb = ns[_ST_V], ns[_ST_V + 1], ns[_ST_V + 2]
+                wr, wg, wb = ns[_ST_WTR], ns[_ST_WTR + 1], ns[_ST_WTR + 2]
+                ridx = ns[_ST_RIDX]
+                valid = wr > 0.0
 
-            st, hit, dist, (px, py, pz), (nx, ny, nz), (colr, colg, colb) = shade(
-                ox, oy, oz, dx, dy, dz
-            )
-
-            # Contribution factor by ray type (raytracer_kernel.cl:317-328):
-            # ORIGIN (i==0) -> 1; REFLECTED (odd) -> parent_col * transp;
-            # REFRACTED (even > 0) -> transp.
-            is_root = i == 0
-            is_refl = (i % 2) == 1
-            fr = jnp.where(is_root, one, jnp.where(is_refl, pcr * tr, tr))
-            fg = jnp.where(is_root, one, jnp.where(is_refl, pcg * tg, tg))
-            fb = jnp.where(is_root, one, jnp.where(is_refl, pcb * tb, tb))
-            w = jnp.where(valid, weight, 0.0)
-            accr = accr + w * colr * fr
-            accg = accg + w * colg * fg
-            accb = accb + w * colb * fb
-
-            @pl.when(2 * i + 2 < m_nodes)
-            def _children():
-                # Reflection child (raytracer_kernel.cl:332-348).
-                ddn = dx * nx + dy * ny + dz * nz
-                rdx = dx - 2.0 * ddn * nx
-                rdy = dy - 2.0 * ddn * ny
-                rdz = dz - 2.0 * ddn * nz
-                refl_ok = valid & hit & (st["refl"] > 0.0)
-
-                def sane(v, ok):
-                    # Invalid children must store FINITE state: their
-                    # contribution is gated by valid, but garbage origins/
-                    # directions (unnormalized reflections of far-miss
-                    # lanes) otherwise overflow downstream into 0*inf=NaN.
-                    return jnp.where(ok, v, 0.0)
-
-                st_ref[2 * i + 1] = jnp.stack(
-                    [
-                        sane(px + rdx * eps, refl_ok),
-                        sane(py + rdy * eps, refl_ok),
-                        sane(pz + rdz * eps, refl_ok),
-                        sane(rdx, refl_ok), sane(rdy, refl_ok), sane(rdz, refl_ok),
-                        sane(st["refl"] * weight, refl_ok),
-                        sane(st["colr"], refl_ok), sane(st["colg"], refl_ok),
-                        sane(st["colb"], refl_ok),
-                        sane(ridx, refl_ok),
-                        sane(tr, refl_ok), sane(tg, refl_ok), sane(tb, refl_ok),
-                        jnp.where(refl_ok, one, zero),
-                    ],
-                    axis=0,
+                st, hit, dist, (px, py, pz), (nx, ny, nz), (colr, colg, colb) = (
+                    shade(ox, oy, oz, dx, dy, dz)
                 )
 
-                # Refraction child (raytracer_kernel.cl:350-372).
-                ridx_m = jnp.where(st["ridx"] != 0.0, st["ridx"], 1.0)
-                n_ratio = ridx / ridx_m
-                n2x = nx * st["res"]  # result = HIT(+1) / INPRIM(-1)
-                n2y = ny * st["res"]
-                n2z = nz * st["res"]
-                cos_i = -(n2x * dx + n2y * dy + n2z * dz)
-                cos_t2 = 1.0 - n_ratio * n_ratio * (1.0 - cos_i * cos_i)
-                ct_safe = jnp.sqrt(jnp.where(cos_t2 > 0.0, cos_t2, 1.0))
-                kk = n_ratio * cos_i - ct_safe
-                tdx = n_ratio * dx + kk * n2x
-                tdy = n_ratio * dy + kk * n2y
-                tdz = n_ratio * dz + kk * n2z
-                refr_ok = valid & hit & (st["refr"] > 0.0) & (cos_t2 > 0.0)
-                # Beer's law with the PARENT ray's travel distance
-                # (raytracer_kernel.cl:370).
-                st_ref[2 * i + 2] = jnp.stack(
-                    [
-                        sane(px + tdx * eps, refr_ok),
-                        sane(py + tdy * eps, refr_ok),
-                        sane(pz + tdz * eps, refr_ok),
-                        sane(tdx, refr_ok), sane(tdy, refr_ok), sane(tdz, refr_ok),
-                        sane(weight, refr_ok),
-                        sane(st["colr"], refr_ok), sane(st["colg"], refr_ok),
-                        sane(st["colb"], refr_ok),
-                        sane(ridx_m, refr_ok),
-                        sane(tr * jnp.exp(st["colr"] * 0.15 * (-dist)), refr_ok),
-                        sane(tg * jnp.exp(st["colg"] * 0.15 * (-dist)), refr_ok),
-                        sane(tb * jnp.exp(st["colb"] * 0.15 * (-dist)), refr_ok),
-                        jnp.where(refr_ok, one, zero),
-                    ],
-                    axis=0,
-                )
+                out_ref[0] += vr * colr
+                out_ref[1] += vg * colg
+                out_ref[2] += vb * colb
 
-            return (accr, accg, accb)
+                @pl.when(2 * i + 2 < m_nodes)
+                def _children():
+                    # Reflection child (raytracer_kernel.cl:332-348).
+                    ddn = dx * nx + dy * ny + dz * nz
+                    rdx = dx - 2.0 * ddn * nx
+                    rdy = dy - 2.0 * ddn * ny
+                    rdz = dz - 2.0 * ddn * nz
+                    refl_ok = valid & hit & (st["refl"] > 0.0)
 
-        accr, accg, accb = jax.lax.fori_loop(
-            0, m_nodes, node, (zero, zero, zero)
-        )
-        out_ref[0] = accr
-        out_ref[1] = accg
-        out_ref[2] = accb
+                    def sane(v, ok):
+                        # Invalid children must store FINITE state: their
+                        # contribution is gated by wtr=0, but garbage
+                        # origins/directions (unnormalized reflections of
+                        # far-miss lanes) otherwise overflow downstream
+                        # into 0*inf=NaN.
+                        return jnp.where(ok, v, 0.0)
+
+                    st_ref[2 * i + 1] = jnp.stack(
+                        [
+                            sane(px + rdx * eps, refl_ok),
+                            sane(py + rdy * eps, refl_ok),
+                            sane(pz + rdz * eps, refl_ok),
+                            sane(rdx, refl_ok), sane(rdy, refl_ok),
+                            sane(rdz, refl_ok),
+                            sane(st["refl"] * st["colr"] * wr, refl_ok),
+                            sane(st["refl"] * st["colg"] * wg, refl_ok),
+                            sane(st["refl"] * st["colb"] * wb, refl_ok),
+                            sane(st["refl"] * wr, refl_ok),
+                            sane(st["refl"] * wg, refl_ok),
+                            sane(st["refl"] * wb, refl_ok),
+                            sane(ridx, refl_ok),
+                        ],
+                        axis=0,
+                    )
+                    live_ref[2 * i + 1] = jnp.max(
+                        jnp.where(refl_ok, 1.0, 0.0)
+                    )
+
+                    # Refraction child (raytracer_kernel.cl:350-372).
+                    ridx_m = jnp.where(st["ridx"] != 0.0, st["ridx"], 1.0)
+                    n_ratio = ridx / ridx_m
+                    n2x = nx * st["res"]  # result = HIT(+1) / INPRIM(-1)
+                    n2y = ny * st["res"]
+                    n2z = nz * st["res"]
+                    cos_i = -(n2x * dx + n2y * dy + n2z * dz)
+                    cos_t2 = 1.0 - n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+                    ct_safe = jnp.sqrt(jnp.where(cos_t2 > 0.0, cos_t2, 1.0))
+                    kk = n_ratio * cos_i - ct_safe
+                    tdx = n_ratio * dx + kk * n2x
+                    tdy = n_ratio * dy + kk * n2y
+                    tdz = n_ratio * dz + kk * n2z
+                    refr_ok = valid & hit & (st["refr"] > 0.0) & (cos_t2 > 0.0)
+                    # Beer's law with the PARENT ray's travel distance
+                    # (raytracer_kernel.cl:370).
+                    bwr = wr * jnp.exp(st["colr"] * 0.15 * (-dist))
+                    bwg = wg * jnp.exp(st["colg"] * 0.15 * (-dist))
+                    bwb = wb * jnp.exp(st["colb"] * 0.15 * (-dist))
+                    st_ref[2 * i + 2] = jnp.stack(
+                        [
+                            sane(px + tdx * eps, refr_ok),
+                            sane(py + tdy * eps, refr_ok),
+                            sane(pz + tdz * eps, refr_ok),
+                            sane(tdx, refr_ok), sane(tdy, refr_ok),
+                            sane(tdz, refr_ok),
+                            sane(bwr, refr_ok), sane(bwg, refr_ok),
+                            sane(bwb, refr_ok),
+                            sane(bwr, refr_ok), sane(bwg, refr_ok),
+                            sane(bwb, refr_ok),
+                            sane(ridx_m, refr_ok),
+                        ],
+                        axis=0,
+                    )
+                    live_ref[2 * i + 2] = jnp.max(
+                        jnp.where(refr_ok, 1.0, 0.0)
+                    )
+
+            return 0
+
+        jax.lax.fori_loop(0, m_nodes, node, 0)
 
     return kernel
 
@@ -420,7 +509,11 @@ def whitted_trace_pallas_padded(
     interpret: bool = False,
     debug_tap: str | None = None,
 ):
-    """Trace padded ray tiles; returns acc [3, Rp/128, 128]."""
+    """Trace explicit padded ray tiles; returns acc [3, Rp/128, 128].
+
+    This is the arbitrary-rays entry (parity tests, debug taps, custom
+    cameras). The full-frame fast path is ``whitted_frame_pallas``, which
+    generates the camera rays in-kernel instead of shipping them."""
     n = scene_tab.shape[1]
     rows = rays.shape[1]
     assert rows % sublanes == 0, (rows, sublanes)
@@ -444,9 +537,65 @@ def whitted_trace_pallas_padded(
         out_shape=jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((m_nodes, _ST_N, sublanes, LANES), jnp.float32),
+            pltpu.SMEM((m_nodes,), jnp.float32),
         ],
         interpret=interpret,
     )(scene_tab, rays)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ptype", "is_light", "width", "height", "supersample",
+        "trace_depth", "hit_bias", "sublanes", "interpret",
+    ),
+)
+def whitted_frame_pallas(
+    scene_tab: jnp.ndarray,  # [18, N]
+    *,
+    ptype: Tuple[int, ...],
+    is_light: Tuple[bool, ...],
+    width: int,
+    height: int,
+    supersample: int = 3,
+    trace_depth: int = 5,
+    hit_bias: float = 0.0,
+    sublanes: int = DEF_SUBLANES,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full-frame fused render: camera rays generated in-kernel from the
+    ray index, subsample reduction + tone scale on device. Returns
+    [H, W, 3] float32 in 0..255 (acc * 256 / ss^2, clamped —
+    raytracer_kernel.cl:378-382). The only host traffic is the scene
+    table down and the finished frame back."""
+    n = scene_tab.shape[1]
+    ss2 = supersample * supersample
+    r = width * height * ss2
+    tile = sublanes * LANES
+    rp = ((r + tile - 1) // tile) * tile
+    grid = rp // tile
+    m_nodes = 2 ** (trace_depth + 1) - 1
+
+    kernel = _make_whitted_kernel(
+        n, ptype, is_light, trace_depth, hit_bias, sublanes,
+        camgen=(width, height, supersample),
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # scene table
+        out_specs=pl.BlockSpec((3, sublanes, LANES), lambda g: (0, g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, rp // LANES, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((m_nodes, _ST_N, sublanes, LANES), jnp.float32),
+            pltpu.SMEM((m_nodes,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scene_tab)
+    flat = acc.reshape(3, rp)[:, :r].T  # [R, 3]
+    img = flat.reshape(height, width, ss2, 3).sum(axis=2)
+    return jnp.clip(img * jnp.float32(256.0 / ss2), 0.0, 255.0)
 
 
 def render_whitted_pallas(
@@ -459,25 +608,11 @@ def render_whitted_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full-frame Whitted render on the fused kernel -> [H, W, 3] in
-    0..255 scale (acc * 256 / ss^2, clamped — raytracer_kernel.cl:378-382)."""
-    o, d = whitted_camera_rays(width, height, supersample)
-    r = o.shape[0]
-    tile = DEF_SUBLANES * LANES
-    rp = ((r + tile - 1) // tile) * tile
-    packed = jnp.zeros((6, rp), jnp.float32)
-    packed = packed.at[0:3, :r].set(o.T)
-    packed = packed.at[3:6, :r].set(d.T)
-    # Padding rays: d=0 -> no plane (n.d==0) / sphere (det<0 needs care:
-    # v.v>0 makes det = b^2 - v.v + r^2 arbitrary) hits matter — their
-    # output lanes are discarded below.
-    rays = packed.reshape(6, rp // LANES, LANES)
-    acc = whitted_trace_pallas_padded(
-        pack_whitted_scene(scene), rays,
+    0..255 scale."""
+    return whitted_frame_pallas(
+        pack_whitted_scene(scene),
         ptype=scene.ptype, is_light=scene.is_light,
+        width=width, height=height, supersample=supersample,
         trace_depth=trace_depth, hit_bias=float(hit_bias),
         interpret=interpret,
     )
-    flat = acc.reshape(3, rp)[:, :r].T  # [R, 3]
-    ss2 = supersample * supersample
-    img = flat.reshape(height, width, ss2, 3).sum(axis=2)
-    return jnp.clip(img * jnp.float32(256.0 / ss2), 0.0, 255.0)

@@ -335,34 +335,114 @@ def whitted_camera_rays(
     Returns (origins [R, 3], dirs [R, 3]) with R = H*W*supersample^2,
     ordered pixel-major then subsample (tx outer, ty inner — matching the
     kernel's loop nesting :291-292).
+
+    All arithmetic is strict float32 in the exact op order of the Pallas
+    in-kernel generator (kernels/whitted_kernel.py ``primary_rays``) so
+    the two ray sets are bit-identical.
     """
-    wx1, wx2 = -3.0, 3.0
-    wy1, wy2 = 2.25, -2.25
-    dx = (wx2 - wx1) / width
-    dy = (wy2 - wy1) / height
-    xs = np.arange(width, dtype=np.float32)
-    ys = np.arange(height, dtype=np.float32)
-    sx = wx1 + xs * dx  # [W]
-    sy = wy1 + ys * dy  # [H]
-    offs = np.arange(supersample, dtype=np.float32) - (supersample // 2)
+    f32 = np.float32
+    dxs = f32(6.0 / width)
+    dys = f32(-4.5 / height)
+    half = supersample // 2
+    xs = np.arange(width, dtype=f32)
+    ys = np.arange(height, dtype=f32)
+    offs = (np.arange(supersample, dtype=np.int32) - half).astype(f32)
+    shape = (height, width, supersample, supersample)
     # Pixel grid [H, W] then subsample [S, S] (tx outer, ty inner).
-    px = np.broadcast_to(sx[None, :, None, None], (height, width, supersample, supersample))
-    py = np.broadcast_to(sy[:, None, None, None], (height, width, supersample, supersample))
-    ox = np.broadcast_to(offs[None, None, :, None] * (dx / 2.0), px.shape)
-    oy = np.broadcast_to(offs[None, None, None, :] * (dy / 2.0), px.shape)
-    target = np.stack(
-        [px + ox, py + oy, np.zeros_like(px)], axis=-1
-    ).reshape(-1, 3)
-    camera = np.array([0.0, 0.25, -7.0], np.float32)
-    dirs = target - camera
-    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    x = np.broadcast_to(xs[None, :, None, None], shape)
+    y = np.broadcast_to(ys[:, None, None, None], shape)
+    tx = np.broadcast_to(offs[None, None, :, None], shape)
+    ty = np.broadcast_to(offs[None, None, None, :], shape)
+    sx = (f32(-3.0) + x * dxs) + tx * (dxs / f32(2.0))
+    sy = (f32(2.25) + y * dys) + ty * (dys / f32(2.0))
+    rdx = sx - f32(0.0)
+    rdy = sy - f32(0.25)
+    rdz = np.full(shape, 7.0, f32)
+    inv = f32(1.0) / np.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+    dirs = np.stack([rdx * inv, rdy * inv, rdz * inv], axis=-1).reshape(-1, 3)
+    camera = np.array([0.0, 0.25, -7.0], f32)
     origins = np.broadcast_to(camera, dirs.shape)
     return jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "supersample")
+)
+def whitted_camera_rays_device(
+    width: int, height: int, supersample: int = 3
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side twin of ``whitted_camera_rays`` (same f32 formula, jnp
+    ops): primary rays are a formula of the ray index, so generating them
+    on device replaces a [R, 6]-float host upload per frame."""
+    ss2 = supersample * supersample
+    r = width * height * ss2
+    f32 = jnp.float32
+    dxs = np.float32(6.0 / width)
+    dys = np.float32(-4.5 / height)
+    half = supersample // 2
+    lin = jnp.arange(r, dtype=jnp.int32)
+    pix = lin // ss2
+    sub = lin - pix * ss2
+    txi = sub // supersample
+    tyi = sub - txi * supersample
+    x = pix % width
+    y = pix // width
+    sx = (f32(-3.0) + x.astype(f32) * dxs) + (txi - half).astype(f32) * f32(
+        dxs / np.float32(2.0)
+    )
+    sy = (f32(2.25) + y.astype(f32) * dys) + (tyi - half).astype(f32) * f32(
+        dys / np.float32(2.0)
+    )
+    rdx = sx - f32(0.0)
+    rdy = sy - f32(0.25)
+    rdz = jnp.full((r,), 7.0, f32)
+    inv = f32(1.0) / jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+    d = jnp.stack([rdx * inv, rdy * inv, rdz * inv], axis=-1)
+    o = jnp.broadcast_to(jnp.asarray([0.0, 0.25, -7.0], f32), (r, 3))
+    return o, d
 
 
 _whitted_trace_jit = jax.jit(
     whitted_trace, static_argnames=("trace_depth", "hit_bias")
 )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "supersample", "trace_depth", "hit_bias",
+        "ray_tile",
+    ),
+)
+def _whitted_frame_xla(
+    scene: WhittedScene,
+    *,
+    width: int,
+    height: int,
+    supersample: int,
+    trace_depth: int,
+    hit_bias: float,
+    ray_tile: int,
+) -> jnp.ndarray:
+    """One-dispatch full-frame XLA render: camera gen, a ``lax.map`` over
+    fixed-size ray chunks (bounds the unrolled tree's working set without
+    paying a host round-trip per chunk), subsample reduce, tone scale."""
+    o, d = whitted_camera_rays_device(width, height, supersample)
+    n = o.shape[0]
+    pad = (-n) % ray_tile
+    if pad:
+        # Inert padding rays (d = 0 hits nothing); lanes discarded below.
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+        d = jnp.concatenate([d, jnp.zeros((pad, 3), jnp.float32)])
+    chunks = (n + pad) // ray_tile
+    acc = jax.lax.map(
+        lambda od: whitted_trace(scene, od[0], od[1], trace_depth, hit_bias),
+        (o.reshape(chunks, ray_tile, 3), d.reshape(chunks, ray_tile, 3)),
+    )
+    acc = acc.reshape(-1, 3)[:n]
+    ss2 = supersample * supersample
+    acc = acc.reshape(height, width, ss2, 3).sum(axis=2)
+    return jnp.clip(acc * jnp.float32(256.0 / ss2), 0.0, 255.0)
 
 
 def render_whitted_scene(
@@ -377,35 +457,23 @@ def render_whitted_scene(
     """Full-frame Whitted render -> float32 [H, W, 3] in 0..255 scale
     (acc * 256 / supersample^2, clamped — raytracer_kernel.cl:378-382).
 
-    Rays are processed in fixed-size chunks through ONE jitted trace
-    program (compiled once, reused per chunk) — keeps both the compiler
-    workload and the on-device tree working set small.
+    The whole frame is ONE device dispatch (``_whitted_frame_xla``):
+    camera rays are generated on device (a formula of the ray index beats
+    shipping [R, 6] floats from the host every frame) and chunking is a
+    device-side ``lax.map``, not a Python launch loop.
     """
-    o, d = whitted_camera_rays(width, height, supersample)
-    n = o.shape[0]
+    n = width * height * supersample * supersample
     if ray_tile is None:
-        # The tree holds ~63*14 floats/ray; whole rows keep exact division.
-        per_row = width * supersample * supersample
-        max_rows = max(1, 65536 // per_row)
-        rows = next(r for r in range(max_rows, 0, -1) if height % r == 0)
-        tile = rows * per_row
-        ray_tile = tile if tile < n else n
+        # The unrolled tree holds ~2^(depth+1)*[tile, N] temporaries;
+        # 256k rays keeps that comfortably inside HBM while leaving the
+        # VPU enough width per chunk.
+        ray_tile = min(n, 256 * 1024)
     ray_tile = min(ray_tile, n)
-    if n % ray_tile:
-        raise ValueError(f"ray_tile {ray_tile} must divide {n}")
-    chunks = []
-    for i in range(0, n, ray_tile):
-        chunks.append(
-            _whitted_trace_jit(
-                scene, o[i : i + ray_tile], d[i : i + ray_tile],
-                trace_depth=trace_depth, hit_bias=hit_bias,
-            )
-        )
-    acc = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
-    ss2 = supersample * supersample
-    acc = acc.reshape(height, width, ss2, 3).sum(axis=2)
-    img = jnp.clip(acc * jnp.float32(256.0 / ss2), 0.0, 255.0)
-    return img
+    return _whitted_frame_xla(
+        scene, width=width, height=height, supersample=supersample,
+        trace_depth=trace_depth, hit_bias=float(hit_bias),
+        ray_tile=ray_tile,
+    )
 
 
 def render_whitted(spec_or_scene, config) -> jnp.ndarray:
