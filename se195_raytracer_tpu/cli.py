@@ -18,8 +18,18 @@ import sys
 import time
 
 
+# Per-integrator default scene (reference defaults: Cornell for smallpt,
+# the 17-prim room for 3.2.0x, Scene::InitScene's room for raytracer5).
+DEFAULT_SCENE = {"pt": "cornell", "dl": "cornell", "whitted": "room", "whitted5": "room5"}
+
+
 def _add_render_args(p: argparse.ArgumentParser):
-    p.add_argument("--scene", default="cornell", help="registry name or .scn path")
+    p.add_argument(
+        "--scene",
+        default=None,
+        help="registry name or .scn path (default: per-integrator — "
+        "cornell / room / room5)",
+    )
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--spp", type=int, default=8)
@@ -70,6 +80,30 @@ def _load_scene(name: str):
     )
 
 
+def _whitted_scene(args):
+    """Resolve --scene for the whitted (3.2.0x) family; error on unknown."""
+    from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
+
+    if args.scene not in WHITTED_SCENES:
+        sys.exit(
+            f"error: unknown whitted scene {args.scene!r} "
+            f"(known: {', '.join(sorted(WHITTED_SCENES))})"
+        )
+    return WHITTED_SCENES[args.scene]()
+
+
+def _whitted5_scene(args):
+    """Resolve --scene for the whitted5 (raytracer5) family; error on unknown."""
+    from se195_raytracer_tpu.scenes.whitted5_scenes import WHITTED5_SCENES
+
+    if args.scene not in WHITTED5_SCENES:
+        sys.exit(
+            f"error: unknown whitted5 scene {args.scene!r} "
+            f"(known: {', '.join(sorted(WHITTED5_SCENES))})"
+        )
+    return WHITTED5_SCENES[args.scene]()
+
+
 def cmd_render(args) -> int:
     import numpy as np
 
@@ -94,21 +128,19 @@ def cmd_render(args) -> int:
     with maybe_trace(args.profile):
         if args.integrator == "whitted":
             from se195_raytracer_tpu.models.whitted import render_whitted
-            from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
 
-            name = args.scene if args.scene in WHITTED_SCENES else "room"
-            img = np.asarray(render_whitted(name, cfg))
+            img = np.asarray(render_whitted(_whitted_scene(args), cfg))
             img_u8 = np.clip(img, 0, 255).astype(np.uint8)
         elif args.integrator == "whitted5":
             from se195_raytracer_tpu.models.whitted5 import (
                 render_whitted5,
                 render_whitted5_adaptive,
             )
-            from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
 
+            scene5 = _whitted5_scene(args)
             if args.adaptive:
                 img, frac = render_whitted5_adaptive(
-                    room5_scene(), width=args.width, height=args.height,
+                    scene5, width=args.width, height=args.height,
                     seed=args.seed,
                 )
                 img = np.asarray(img)
@@ -119,7 +151,9 @@ def cmd_render(args) -> int:
                 )
             else:
                 img = np.asarray(
-                    render_whitted5(room5_scene(), width=args.width, height=args.height, spp=args.spp)
+                    render_whitted5(
+                        scene5, width=args.width, height=args.height, spp=args.spp
+                    )
                 )
             img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
         else:
@@ -140,6 +174,71 @@ def cmd_render(args) -> int:
     return 0
 
 
+def _bench_whitted(args) -> int:
+    """Benchmark the Whitted families (3.2.0x queue tracer at 3x3
+    supersampling like the reference's 800x600 workload, or the raytracer5
+    tracer), printing the same JSON shape as the smallpt bench."""
+    import jax
+    import numpy as np
+
+    if args.integrator == "whitted":
+        scene = _whitted_scene(args)
+        supersample = 3
+        if args.pallas:
+            from se195_raytracer_tpu.kernels.whitted_kernel import (
+                render_whitted_pallas,
+            )
+
+            run = lambda: render_whitted_pallas(
+                scene, width=args.width, height=args.height
+            )
+        else:
+            from se195_raytracer_tpu.models.whitted import render_whitted_scene
+
+            run = lambda: render_whitted_scene(
+                scene, width=args.width, height=args.height
+            )
+    else:
+        scene = _whitted5_scene(args)
+        supersample = 1 if not args.adaptive else 2
+        from se195_raytracer_tpu.models.whitted5 import (
+            render_whitted5,
+            render_whitted5_adaptive,
+        )
+
+        if args.adaptive:
+            run = lambda: render_whitted5_adaptive(
+                scene, width=args.width, height=args.height, seed=args.seed
+            )[0]
+        else:
+            run = lambda: render_whitted5(
+                scene, width=args.width, height=args.height, spp=args.spp,
+                seed=args.seed,
+            )
+    np.asarray(run())  # compile + warm
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        np.asarray(run())
+        best = min(best, time.perf_counter() - t0)
+    rays = args.width * args.height * supersample * supersample
+    print(
+        json.dumps(
+            {
+                "scene": args.scene,
+                "width": args.width,
+                "height": args.height,
+                "supersample": supersample,
+                "integrator": args.integrator,
+                "device": str(jax.devices()[0]),
+                "elapsed_s": round(best, 4),
+                "rays_per_sec": round(rays / best, 1),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_bench(args) -> int:
     import jax
     import numpy as np
@@ -148,6 +247,8 @@ def cmd_bench(args) -> int:
     from se195_raytracer_tpu.driver.render import render
     from se195_raytracer_tpu.utils.profiling import maybe_trace
 
+    if args.integrator in ("whitted", "whitted5"):
+        return _bench_whitted(args)
     spec = _load_scene(args.scene)
     cfg = RenderConfig(
         width=args.width,
@@ -215,6 +316,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_scenes)
 
     args = parser.parse_args(argv)
+    if getattr(args, "scene", None) is None and hasattr(args, "integrator"):
+        args.scene = DEFAULT_SCENE[args.integrator]
     from se195_raytracer_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()

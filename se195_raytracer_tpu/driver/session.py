@@ -50,23 +50,30 @@ class RenderSession:
         self._image = np.asarray(img)
         return self._image
 
+    # Fixed batch ladder for step_for: each distinct spp value jits one
+    # render program, so the whole session compiles at most
+    # len(STEP_LADDER) distinct programs (plus step(1)'s, shared with rung
+    # 0) — no per-k compile churn while the wall-clock budget is measured.
+    STEP_LADDER = (1, 8, 64)
+
     def step_for(self, budget_s: float = 0.1) -> np.ndarray:
         """Adaptive multi-launch batching (smallptGPU.cpp:739-755): below
         20 accumulated samples, one pass per call for fast interactive
-        feedback; past that, keep adding (geometrically growing) batches
-        of passes until the wall-clock budget is spent — the reference's
-        re-launch-until-threshold loop, with the device-side sample scan
-        replacing individual kernel launches."""
+        feedback; past that, keep adding batches of passes until the
+        wall-clock budget is spent — the reference's re-launch-until-
+        threshold loop, with the device-side sample scan replacing
+        individual kernel launches. Batch sizes climb the fixed
+        ``STEP_LADDER`` so only 3 distinct programs are ever compiled."""
         import time as _time
 
         if self.current_sample < 20:
             return self.step(1)
         t0 = _time.perf_counter()
-        img = self.step(1)
-        k = 1
+        img = self.step(self.STEP_LADDER[0])
+        rung = 0
         while _time.perf_counter() - t0 < budget_s:
-            k = min(2 * k, 64)
-            img = self.step(k)
+            rung = min(rung + 1, len(self.STEP_LADDER) - 1)
+            img = self.step(self.STEP_LADDER[rung])
         return img
 
     @property

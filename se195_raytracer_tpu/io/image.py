@@ -82,6 +82,32 @@ def write_image(image: np.ndarray, path: str) -> None:
         raise ValueError(f"unsupported image extension: {path}")
 
 
+def read_bmp(path: str) -> np.ndarray:
+    """Reads a 24-bpp uncompressed BMP (the layout write_bmp/bitmap.c:8-75
+    emits) -> uint8 [H, W, 3] RGB, top-down row order."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] != b"BM":
+        raise ValueError(f"{path}: not a BMP file")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"{path}: only uncompressed 24-bpp supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    img = np.empty((h, w, 3), np.uint8)
+    for row in range(h):
+        src = offset + row * stride
+        bgr = np.frombuffer(data, np.uint8, row_bytes, src).reshape(w, 3)
+        dst = h - 1 - row if bottom_up else row
+        img[dst] = bgr[:, ::-1]
+    return img
+
+
 def read_ppm(path: str) -> np.ndarray:
     """Read binary P6 PPM back into uint8 [H, W, 3]."""
     with open(path, "rb") as f:

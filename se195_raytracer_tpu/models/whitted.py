@@ -483,10 +483,17 @@ def render_whitted(spec_or_scene, config) -> jnp.ndarray:
 
     scene = spec_or_scene
     if isinstance(spec_or_scene, str):
+        if spec_or_scene not in WHITTED_SCENES:
+            raise KeyError(
+                f"unknown whitted scene {spec_or_scene!r}; "
+                f"known: {sorted(WHITTED_SCENES)}"
+            )
         scene = WHITTED_SCENES[spec_or_scene]()
     if not isinstance(scene, WhittedScene):
-        # A smallpt SceneSpec was passed; default to the room scene.
-        scene = WHITTED_SCENES["room"]()
+        raise TypeError(
+            f"render_whitted needs a WhittedScene or a name, got "
+            f"{type(scene).__name__}"
+        )
     if getattr(config, "use_pallas", False):
         from se195_raytracer_tpu.kernels.whitted_kernel import (
             render_whitted_pallas,

@@ -188,3 +188,150 @@ def render_pallas_sharded(
     )(scene_tab, cam_tab, s0, s1, acc)
     img = acc.reshape(3, rp)[:, :r].T.reshape(h, w, 3)
     return img, (s0, s1, acc, start + config.spp)
+
+
+def render_whitted_sharded(
+    scene,
+    width: int = 800,
+    height: int = 600,
+    supersample: int = 3,
+    trace_depth: int = 5,
+    hit_bias: float = 0.0,
+    mesh=None,
+    ray_tile: int | None = None,
+):
+    """Whitted (3.2.0x) frame with the ray axis sharded over ``mesh`` —
+    P1 sharding for the queue/tree family (SURVEY §2e P1/P7). Rays are a
+    formula of the absolute ray index and the tracer is deterministic, so
+    each device traces its contiguous ray shard independently and the
+    result is bitwise identical to the single-device render. Zero
+    collectives; assembly happens when the caller materializes the image.
+
+    Returns [H, W, 3] float32 in 0..255 scale.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from se195_raytracer_tpu.models.whitted import (
+        whitted_camera_rays_device,
+        whitted_trace,
+    )
+    from se195_raytracer_tpu.parallel.mesh import RAY_AXIS
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    ss2 = supersample * supersample
+    n = width * height * ss2
+    if ray_tile is None:
+        ray_tile = min((n + n_dev - 1) // n_dev, 256 * 1024)
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def shard_body(o, d):
+        # Chunk the shard so the unrolled tree's working set stays bounded
+        # (same discipline as _whitted_frame_xla's lax.map).
+        ns = o.shape[0]
+        pad = (-ns) % ray_tile
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+            d = jnp.concatenate([d, jnp.zeros((pad, 3), jnp.float32)])
+        chunks = (ns + pad) // ray_tile
+        acc = jax.lax.map(
+            lambda od: whitted_trace(scene, od[0], od[1], trace_depth, hit_bias),
+            (o.reshape(chunks, ray_tile, 3), d.reshape(chunks, ray_tile, 3)),
+        )
+        return acc.reshape(-1, 3)[:ns]
+
+    @jax.jit
+    def frame():
+        o, d = whitted_camera_rays_device(width, height, supersample)
+        pad = (-n) % n_dev
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+            d = jnp.concatenate([d, jnp.zeros((pad, 3), jnp.float32)])
+        acc = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=P(RAY_AXIS),
+            check_vma=False,
+        )(o, d)
+        acc = acc[:n].reshape(height, width, ss2, 3).sum(axis=2)
+        return jnp.clip(acc * jnp.float32(256.0 / ss2), 0.0, 255.0)
+
+    return frame()
+
+
+def render_whitted5_sharded(
+    scene,
+    width: int = 320,
+    height: int = 240,
+    spp: int = 1,
+    trace_depth: int | None = None,
+    seed: int = 0,
+    mesh=None,
+):
+    """raytracer5-family frame with the ray axis sharded over ``mesh``.
+
+    The per-ray MWC seed pairs are initialized over the FULL frame
+    (absolute ray id) and then sharded, so every device consumes exactly
+    the seed stream the single-device render would — output is bitwise
+    identical regardless of mesh size (multi-host determinism, SURVEY §7
+    hard part 6). Returns [H, W, 3] float32 linear radiance.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from se195_raytracer_tpu.core.rng import init_mwc_state
+    from se195_raytracer_tpu.models.whitted5 import (
+        TRACEDEPTH5,
+        camera_rays5,
+        whitted5_trace,
+    )
+    from se195_raytracer_tpu.parallel.mesh import RAY_AXIS
+
+    if trace_depth is None:
+        trace_depth = TRACEDEPTH5
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    r = width * height
+    pad = (-r) % n_dev
+    s0, s1 = init_mwc_state((r,), seed)
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def shard_body(o, d, s0, s1):
+        acc = jnp.zeros((o.shape[0], 3))
+        state = (s0, s1)
+        for _ in range(spp):
+            col, state = whitted5_trace(scene, o, d, state, trace_depth)
+            acc = acc + col
+        return acc / spp
+
+    @jax.jit
+    def frame(s0, s1):
+        o, d = camera_rays5(width, height)
+        if pad:
+            # Inert padding rays: d=0 yields misses; lanes sliced off below.
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+            d = jnp.concatenate([d, jnp.zeros((pad, 3), jnp.float32)])
+            s0p = jnp.concatenate([s0, jnp.full((pad,), 2, s0.dtype)])
+            s1p = jnp.concatenate([s1, jnp.full((pad,), 2, s1.dtype)])
+        else:
+            s0p, s1p = s0, s1
+        acc = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=P(RAY_AXIS),
+            check_vma=False,
+        )(o, d, s0p, s1p)
+        return acc[:r].reshape(height, width, 3)
+
+    return frame(s0, s1)

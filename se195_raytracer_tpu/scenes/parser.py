@@ -76,12 +76,12 @@ def load_scn(path_or_file: Union[str, io.TextIOBase]) -> SceneSpec:
 def write_scn(spec: SceneSpec, path: str) -> None:
     with open(path, "w") as f:
         co, ct = spec.camera_orig, spec.camera_target
-        f.write(f"camera {co[0]:g} {co[1]:g} {co[2]:g}  {ct[0]:g} {ct[1]:g} {ct[2]:g}\n")
+        f.write(f"camera {co[0]:.9g} {co[1]:.9g} {co[2]:.9g}  {ct[0]:.9g} {ct[1]:.9g} {ct[2]:.9g}\n")
         f.write(f"size {len(spec.radius)}\n")
         for i in range(len(spec.radius)):
             p, e, c = spec.center[i], spec.emission[i], spec.color[i]
             f.write(
-                f"sphere {spec.radius[i]:g}  {p[0]:g} {p[1]:g} {p[2]:g}  "
-                f"{e[0]:g} {e[1]:g} {e[2]:g}  {c[0]:g} {c[1]:g} {c[2]:g}  "
+                f"sphere {spec.radius[i]:.9g}  {p[0]:.9g} {p[1]:.9g} {p[2]:.9g}  "
+                f"{e[0]:.9g} {e[1]:.9g} {e[2]:.9g}  {c[0]:.9g} {c[1]:.9g} {c[2]:.9g}  "
                 f"{int(spec.refl[i])}\n"
             )

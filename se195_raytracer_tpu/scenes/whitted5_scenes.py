@@ -13,6 +13,7 @@ a differentiable pytree leaf.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -115,9 +116,24 @@ class Whitted5Builder:
         )
 
 
+# The reference's real texture assets (raytracer5/trunk/textures/{checker,
+# marble,wood}.tga, loaded by Texture::Texture, scene.cpp:38-60). Read from
+# the read-only mount when available; the procedural stand-ins below are the
+# fallback for environments without it.
+REF_TEXTURES_DIR = "/root/reference/raytracer5/trunk/textures"
+
+
+def load_ref_texture(name: str, textures_dir: str = REF_TEXTURES_DIR) -> np.ndarray:
+    """Loads one of the reference's .tga assets with the reference's own
+    (quirky) decoder semantics — see io/tga.py."""
+    from se195_raytracer_tpu.io.tga import load_tga
+
+    return load_tga(os.path.join(textures_dir, f"{name}.tga"))
+
+
 def checker_texture(size: int = 64, scale: int = 8) -> np.ndarray:
-    """Procedural stand-in for textures/checker.tga (the reference's
-    texture files are not part of the source tree)."""
+    """Procedural stand-in for textures/checker.tga, used when the reference
+    texture assets are unavailable."""
     ij = np.indices((size, size)).sum(axis=0) // scale
     c = (ij % 2).astype(np.float32)
     return np.stack([c, c, c], axis=-1) * 0.8 + 0.2
@@ -141,14 +157,26 @@ def marble_texture(size: int = 64, seed: int = 0) -> np.ndarray:
     return (0.4 + 0.6 * col).astype(np.float32)
 
 
-def room5_scene() -> Whitted5Scene:
+def room5_scene(textures: str = "auto") -> Whitted5Scene:
     """The hard-coded raytracer5 room (Scene::InitScene, scene.cpp:415-542):
-    textured ground plane, marble sphere, glossy sphere, degenerate third
-    sphere, 3 box area lights, back plane, box pillar, bright box ceiling,
-    refractive ceiling plane."""
+    checker-textured ground plane, marble-textured big sphere (scene.cpp:
+    429,448), glossy sphere, degenerate third sphere, 3 box area lights,
+    back plane, box pillar, bright box ceiling, refractive ceiling plane.
+
+    textures: 'real' = the reference's .tga assets (requires the mount),
+    'procedural' = the stand-ins, 'auto' = real if the mount exists.
+    """
+    if textures == "auto":
+        textures = "real" if os.path.isdir(REF_TEXTURES_DIR) else "procedural"
     b = Whitted5Builder()
-    checker = b.add_texture(checker_texture())
-    marble = b.add_texture(marble_texture())
+    if textures == "real":
+        checker = b.add_texture(load_ref_texture("checker"))
+        marble = b.add_texture(load_ref_texture("marble"))
+    elif textures == "procedural":
+        checker = b.add_texture(checker_texture())
+        marble = b.add_texture(marble_texture())
+    else:
+        raise ValueError(f"textures must be auto|real|procedural, got {textures!r}")
     b.plane((0, 1, 0), 4.4, refl=0.0, refr=0.0, diff=1.0, spec=0.5,
             color=(0.7, 0.7, 0.7), tex=checker, uv_scale=(0.45, 0.45))
     b.sphere((0, -0.8, 7), 2.0, refl=0.05, refr=0.0, refr_index=1.3,
@@ -172,3 +200,11 @@ def room5_scene() -> Whitted5Scene:
     b.plane((0, 1, 0), 5.0, refl=0.0, refr=0.5, diff=0.0,
             color=(0.4, 0.3, 0.3))
     return b.build()
+
+
+# Scene registry for the raytracer5 family (CLI --integrator whitted5
+# resolves --scene here; "room5" is Scene::InitScene, scene.cpp:415-542).
+WHITTED5_SCENES = {
+    "room5": room5_scene,
+    "room5_procedural": lambda: room5_scene(textures="procedural"),
+}

@@ -59,5 +59,25 @@ def test_whitted5_golden():
     from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
 
     golden = _load("whitted5_room")
-    img = render_whitted5(room5_scene(), width=48, height=36, spp=1, seed=3)
+    img = render_whitted5(
+        room5_scene(textures="procedural"), width=48, height=36, spp=1, seed=3
+    )
+    _check(img, golden)
+
+
+def test_whitted5_golden_real_textures():
+    """Textured room with the reference's real marble/checker .tga assets
+    (scene.cpp:429,448 via io/tga.py)."""
+    from se195_raytracer_tpu.models.whitted5 import render_whitted5
+    from se195_raytracer_tpu.scenes.whitted5_scenes import (
+        REF_TEXTURES_DIR,
+        room5_scene,
+    )
+
+    if not os.path.isdir(REF_TEXTURES_DIR):
+        pytest.skip("reference texture mount not available")
+    golden = _load("whitted5_room_tga")
+    img = render_whitted5(
+        room5_scene(textures="real"), width=48, height=36, spp=1, seed=3
+    )
     _check(img, golden)

@@ -84,3 +84,24 @@ def test_save_image(tmp_path):
 def test_esc_returns_false():
     s = make_session()
     assert s.key("\x1b") is False
+
+
+def test_step_for_bounded_compile_churn(monkeypatch):
+    """The wall-clock batching loop may only ever request spp values from
+    the fixed STEP_LADDER — at most 3 distinct render programs per session
+    (each distinct spp jits one program)."""
+    s = make_session()
+    requested = set()
+    orig_step = RenderSession.step
+
+    def spy(self, samples=1):
+        requested.add(samples)
+        return orig_step(self, samples)
+
+    monkeypatch.setattr(RenderSession, "step", spy)
+    s.step(25)  # past the interactive phase
+    requested.clear()
+    for _ in range(3):
+        s.step_for(0.05)
+    assert requested <= set(RenderSession.STEP_LADDER)
+    assert len(requested) <= 3

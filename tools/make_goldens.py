@@ -45,11 +45,30 @@ def main():
     )
     print("wrote whitted_room")
 
-    img = render_whitted5(room5_scene(), width=48, height=36, spp=1, seed=3)
+    img = render_whitted5(
+        room5_scene(textures="procedural"), width=48, height=36, spp=1, seed=3
+    )
     np.savez_compressed(
         os.path.join(GOLDEN_DIR, "whitted5_room.npz"), image=np.asarray(img)
     )
     print("wrote whitted5_room")
+
+    # Textured variant with the reference's real .tga assets (scene.cpp:
+    # 429,448). Requires the reference mount; the matching test skips if
+    # the mount is missing but the golden is committed.
+    from se195_raytracer_tpu.scenes.whitted5_scenes import REF_TEXTURES_DIR
+
+    if os.path.isdir(REF_TEXTURES_DIR):
+        img = render_whitted5(
+            room5_scene(textures="real"), width=48, height=36, spp=1, seed=3
+        )
+        np.savez_compressed(
+            os.path.join(GOLDEN_DIR, "whitted5_room_tga.npz"),
+            image=np.asarray(img),
+        )
+        print("wrote whitted5_room_tga")
+    else:
+        print("skip whitted5_room_tga (no reference mount)")
 
 
 if __name__ == "__main__":
