@@ -46,8 +46,26 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--ray-tile", type=int, default=None)
     p.add_argument(
         "--pallas",
-        action="store_true",
-        help="use the fused Pallas TPU kernel (fast path)",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="use the fused Pallas TPU kernel (fast path); defaults to ON "
+        "when the JAX backend is a TPU, OFF otherwise (--no-pallas forces "
+        "the XLA path)",
+    )
+    p.add_argument(
+        "--supersample", type=int, default=3,
+        help="whitted: subpixel rays per axis (reference 3x3, "
+        "raytracer_kernel.cl:291-292)",
+    )
+    p.add_argument(
+        "--trace-depth", type=int, default=5,
+        help="whitted: reflect/refract tree depth (TRACEDEPTH 5, "
+        "raytracer_kernel.cl:8)",
+    )
+    p.add_argument(
+        "--hit-bias", type=float, default=0.0,
+        help="whitted: 3.2.03 sphere near-hit slack (0.005 for kernel "
+        "parity, raytracer_kernel.cl:128); default 0 = 3.2.02/CPU",
     )
     p.add_argument(
         "--adaptive",
@@ -121,6 +139,9 @@ def cmd_render(args) -> int:
         seed=args.seed,
         ray_tile=args.ray_tile,
         use_pallas=args.pallas,
+        supersample=args.supersample,
+        trace_depth=args.trace_depth,
+        hit_bias=args.hit_bias,
     )
     from se195_raytracer_tpu.utils.profiling import maybe_trace
 
@@ -183,21 +204,22 @@ def _bench_whitted(args) -> int:
 
     if args.integrator == "whitted":
         scene = _whitted_scene(args)
-        supersample = 3
+        supersample = args.supersample
+        kw = dict(
+            width=args.width, height=args.height,
+            supersample=args.supersample, trace_depth=args.trace_depth,
+            hit_bias=args.hit_bias,
+        )
         if args.pallas:
             from se195_raytracer_tpu.kernels.whitted_kernel import (
                 render_whitted_pallas,
             )
 
-            run = lambda: render_whitted_pallas(
-                scene, width=args.width, height=args.height
-            )
+            run = lambda: render_whitted_pallas(scene, **kw)
         else:
             from se195_raytracer_tpu.models.whitted import render_whitted_scene
 
-            run = lambda: render_whitted_scene(
-                scene, width=args.width, height=args.height
-            )
+            run = lambda: render_whitted_scene(scene, **kw)
     else:
         scene = _whitted5_scene(args)
         supersample = 1 if not args.adaptive else 2
@@ -321,6 +343,12 @@ def main(argv=None) -> int:
     from se195_raytracer_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
+    if getattr(args, "pallas", None) is None and hasattr(args, "integrator"):
+        # Auto: the fused kernels are the fast path on TPU; the XLA path
+        # remains the default on CPU (and the interpret-mode test target).
+        import jax
+
+        args.pallas = jax.default_backend() not in ("cpu",)
     return args.fn(args)
 
 

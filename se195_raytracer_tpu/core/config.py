@@ -30,6 +30,13 @@ class RenderConfig:
     ray_tile: Optional[int] = None
     # Use the Pallas fused kernel path when available; pure-jnp otherwise.
     use_pallas: bool = False
+    # Whitted-family (3.2.0x) knobs — defaults match the reference's
+    # compile-time constants (raytracer_kernel.cl:8 TRACEDEPTH 5, :291-292
+    # 3x3 supersampling; hit_bias 0.005 is the 3.2.03 near-hit slack,
+    # :128 — default 0.0 = 3.2.02/CPU semantics).
+    supersample: int = 3
+    trace_depth: int = 5
+    hit_bias: float = 0.0
 
     def __post_init__(self):
         if self.integrator not in ("pt", "dl"):

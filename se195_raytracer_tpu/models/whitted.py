@@ -416,6 +416,8 @@ _whitted_trace_jit = jax.jit(
 )
 def _whitted_frame_xla(
     scene: WhittedScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
     *,
     width: int,
     height: int,
@@ -424,11 +426,18 @@ def _whitted_frame_xla(
     hit_bias: float,
     ray_tile: int,
 ) -> jnp.ndarray:
-    """One-dispatch full-frame XLA render: camera gen, a ``lax.map`` over
-    fixed-size ray chunks (bounds the unrolled tree's working set without
-    paying a host round-trip per chunk), subsample reduce, tone scale."""
-    o, d = whitted_camera_rays_device(width, height, supersample)
-    n = o.shape[0]
+    """Full-frame XLA render: a ``lax.map`` over fixed-size ray chunks
+    (bounds the unrolled tree's working set without paying a host
+    round-trip per chunk), subsample reduce, tone scale.
+
+    Camera rays come in as *inputs* (generated on device by the separately
+    jitted ``whitted_camera_rays_device`` — two dispatches, zero host
+    traffic). Fusing the camera-gen iota/div/mod formula into the same
+    compilation as the unrolled trace tree reproducibly crashes the TPU
+    compiler (tpu_compile_helper SIGILL) at small frame shapes, e.g.
+    80x60/ss2/depth4; the split is the workaround and costs nothing
+    measurable at real frame sizes."""
+    n = width * height * supersample * supersample
     pad = (-n) % ray_tile
     if pad:
         # Inert padding rays (d = 0 hits nothing); lanes discarded below.
@@ -457,10 +466,12 @@ def render_whitted_scene(
     """Full-frame Whitted render -> float32 [H, W, 3] in 0..255 scale
     (acc * 256 / supersample^2, clamped — raytracer_kernel.cl:378-382).
 
-    The whole frame is ONE device dispatch (``_whitted_frame_xla``):
-    camera rays are generated on device (a formula of the ray index beats
-    shipping [R, 6] floats from the host every frame) and chunking is a
-    device-side ``lax.map``, not a Python launch loop.
+    The frame is TWO device dispatches: camera rays are generated on
+    device by the jitted ``whitted_camera_rays_device`` (a formula of the
+    ray index beats shipping [R, 6] floats from the host every frame),
+    then ``_whitted_frame_xla`` runs the chunked trace + reduce. The
+    split (rather than one fused dispatch) works around a TPU-compiler
+    SIGILL — see ``_whitted_frame_xla``'s docstring.
     """
     n = width * height * supersample * supersample
     if ray_tile is None:
@@ -469,8 +480,9 @@ def render_whitted_scene(
         # VPU enough width per chunk.
         ray_tile = min(n, 256 * 1024)
     ray_tile = min(ray_tile, n)
+    o, d = whitted_camera_rays_device(width, height, supersample)
     return _whitted_frame_xla(
-        scene, width=width, height=height, supersample=supersample,
+        scene, o, d, width=width, height=height, supersample=supersample,
         trace_depth=trace_depth, hit_bias=float(hit_bias),
         ray_tile=ray_tile,
     )
@@ -494,17 +506,25 @@ def render_whitted(spec_or_scene, config) -> jnp.ndarray:
             f"render_whitted needs a WhittedScene or a name, got "
             f"{type(scene).__name__}"
         )
+    supersample = getattr(config, "supersample", 3)
+    trace_depth = getattr(config, "trace_depth", 5)
+    hit_bias = getattr(config, "hit_bias", 0.0)
     if getattr(config, "use_pallas", False):
         from se195_raytracer_tpu.kernels.whitted_kernel import (
             render_whitted_pallas,
         )
 
         return render_whitted_pallas(
-            scene, width=config.width, height=config.height
+            scene, width=config.width, height=config.height,
+            supersample=supersample, trace_depth=trace_depth,
+            hit_bias=hit_bias,
         )
     return render_whitted_scene(
         scene,
         width=config.width,
         height=config.height,
+        supersample=supersample,
+        trace_depth=trace_depth,
+        hit_bias=hit_bias,
         ray_tile=config.ray_tile,
     )
