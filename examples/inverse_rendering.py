@@ -21,9 +21,16 @@ def main():
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--lr", type=float, default=0.15)
+    ap.add_argument(
+        "--pallas", action=argparse.BooleanOptionalAction, default=None,
+        help="forward on the fused Pallas kernel, backward = remat-jnp VJP"
+        " (default: on when the backend is a TPU). Run at --size 512 for"
+        " BASELINE config #4 full scale (see tools/grad_bench.py).",
+    )
     ap.add_argument("--outdir", default=os.path.dirname(os.path.abspath(__file__)))
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -37,7 +44,14 @@ def main():
     from se195_raytracer_tpu.ops.tonemap import to_int_np
     from se195_raytracer_tpu.scenes.registry import get_scene
 
-    cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp, seed=5)
+    use_pallas = (
+        args.pallas if args.pallas is not None
+        else jax.default_backend() not in ("cpu",)
+    )
+    cfg = RenderConfig(
+        width=args.size, height=args.size, spp=args.spp, seed=5,
+        use_pallas=use_pallas,
+    )
     spec = get_scene("cornell")
     scene_true, cam = spec.to_scene(), spec.to_camera()
 

@@ -30,6 +30,9 @@ class RenderConfig:
     ray_tile: Optional[int] = None
     # Use the Pallas fused kernel path when available; pure-jnp otherwise.
     use_pallas: bool = False
+    # Run Pallas kernels in interpreter mode (CPU semantics testing; the
+    # reference's DEBUGGING printf hook analogue, raytracer_kernel.cl:1-6).
+    pallas_interpret: bool = False
     # Whitted-family (3.2.0x) knobs — defaults match the reference's
     # compile-time constants (raytracer_kernel.cl:8 TRACEDEPTH 5, :291-292
     # 3x3 supersampling; hit_bias 0.005 is the 3.2.03 near-hit slack,

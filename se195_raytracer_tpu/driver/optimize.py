@@ -15,6 +15,7 @@ backward memory.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
@@ -34,8 +35,29 @@ def render_differentiable(
     config: RenderConfig,
     seed: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Render with per-bounce remat and *fixed* RNG streams (same seeds
-    every call so the loss surface is deterministic). Returns [H, W, 3]."""
+    """Differentiable render with *fixed* RNG streams (same seeds every
+    call so the loss surface is deterministic). Returns [H, W, 3].
+
+    With ``config.use_pallas`` the PRIMAL runs on the fused Pallas PT
+    kernel (kernels/pt_kernel.py) and the backward pass re-runs the
+    remat'd jnp path's VJP — see ``_render_pallas_diff``. Otherwise both
+    directions use the per-bounce-remat jnp scan."""
+    if getattr(config, "use_pallas", False):
+        if seed is not None and seed != config.seed:
+            config = dataclasses.replace(config, seed=seed)
+        return _render_pallas_diff(scene, camera, config)
+    return _render_jnp_diff(scene, camera, config, seed)
+
+
+def _render_jnp_diff(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    seed: Optional[int] = None,
+) -> jnp.ndarray:
+    """Pure-jnp differentiable render: ``lax.scan`` over samples with
+    per-bounce ``jax.checkpoint`` inside ``radiance`` (remat bounds the
+    backward's live memory to one bounce of temporaries)."""
     basis = update_camera(camera, config.width, config.height)
     xs, ys = pixel_coords(config.width, config.height)
     n = config.width * config.height
@@ -53,6 +75,48 @@ def render_differentiable(
     init = (jnp.zeros((n, 3), jnp.float32), s0, s1)
     (accum, _, _), _ = jax.lax.scan(step, init, jnp.arange(config.spp))
     return accum.reshape(config.height, config.width, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _render_pallas_diff(scene: Scene, camera: Camera, config: RenderConfig):
+    """The fused PT kernel with a backward story (VERDICT r2 task 1):
+
+    * forward  = ``kernels/pt_kernel.render_pallas`` — the Mosaic kernel,
+      ~500M rays/s/chip;
+    * backward = VJP of the remat'd jnp scan (``_render_jnp_diff``),
+      recomputed from the same fixed seeds.
+
+    The two paths draw identical RNG streams (tests/test_pallas_kernel.py
+    pins them stream-for-stream in both ``mwc`` and ``counter`` modes), so
+    the jnp recompute in the backward differentiates the same estimator
+    the kernel evaluated — the pallas-forward/remat-jnp-backward pairing.
+    Silhouette caveats of ``render_differentiable`` apply unchanged."""
+    from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
+
+    img, _ = render_pallas(
+        scene, camera, config, interpret=config.pallas_interpret
+    )
+    return img
+
+
+def _render_pallas_diff_fwd(scene, camera, config):
+    from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
+
+    img, _ = render_pallas(
+        scene, camera, config, interpret=config.pallas_interpret
+    )
+    return img, (scene, camera)
+
+
+def _render_pallas_diff_bwd(config, res, g):
+    scene, camera = res
+    _, vjp = jax.vjp(
+        lambda s, c: _render_jnp_diff(s, c, config), scene, camera
+    )
+    return vjp(g)
+
+
+_render_pallas_diff.defvjp(_render_pallas_diff_fwd, _render_pallas_diff_bwd)
 
 
 def l2_image_loss(

@@ -168,7 +168,10 @@ def render(
         # in-kernel.
         from se195_raytracer_tpu.kernels.pt_kernel import render_pallas
 
-        return render_pallas(scene, camera, config, state=state)
+        return render_pallas(
+            scene, camera, config, state=state,
+            interpret=config.pallas_interpret,
+        )
     if state is None:
         state = init_render_state(config)
     state = render_steps(scene, camera, state, config, config.spp)

@@ -129,6 +129,37 @@ def test_remat_matches_no_remat():
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
+def test_pallas_fast_path_gradients_match_jnp():
+    """The pallas-forward/remat-jnp-backward pairing (driver/optimize.py
+    _render_pallas_diff): primal comes from the fused kernel (interpret
+    mode here), gradients must be IDENTICAL to the jnp path's — the
+    backward is literally the jnp VJP on the same fixed RNG streams."""
+    import dataclasses
+
+    spec = _spec()
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg_fast = dataclasses.replace(
+        CFG, width=32, height=16, spp=1, use_pallas=True,
+        pallas_interpret=True,
+    )
+    cfg_jnp = dataclasses.replace(cfg_fast, use_pallas=False)
+
+    def loss(c, cfg):
+        return jnp.mean(
+            render_differentiable(scene.replace(color=c), cam, cfg)
+        )
+
+    v_fast, g_fast = jax.value_and_grad(loss)(scene.color, cfg_fast)
+    v_jnp, g_jnp = jax.value_and_grad(loss)(scene.color, cfg_jnp)
+    # Primal: same streams, kernel vs jnp op order — allclose.
+    np.testing.assert_allclose(float(v_fast), float(v_jnp), rtol=2e-4)
+    # Gradients: both sides run the same jnp VJP; XLA may fuse the two
+    # programs differently, so agreement is reassociation-level.
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_jnp), rtol=1e-4, atol=1e-5
+    )
+
+
 @pytest.mark.slow
 def test_inverse_rendering_recovers_color():
     """BASELINE config #4 scaled down: perturb a sphere's albedo, recover

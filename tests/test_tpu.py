@@ -51,21 +51,39 @@ def test_pt_pallas_matches_xla_on_tpu(tpu):
 
 
 def test_whitted_pallas_matches_xla_on_tpu(tpu):
-    """Whitted heap kernel vs XLA tree path ON TPU — the gate that would
-    have caught the bf16 einsum self-shadowing bug."""
+    """Whitted heap kernel AND XLA tree path ON TPU, both anchored to the
+    committed CPU golden (tests/goldens/whitted_room_gate.npz) — the gate
+    that would have caught the bf16 einsum self-shadowing bug.
+
+    Tolerances are from a three-way measurement on the chip (r3): TPU
+    float semantics (sqrt/div/rsqrt vs CPU) flip near-tie hit winners on
+    ~1.1-1.6% of pixels, and the 31-node reflect/refract tree amplifies a
+    flip into a large single-pixel diff (max ~48/255). A real lowering
+    bug (e.g. the bf16 self-shadowing regression: every wall black) moves
+    the MEAN error by orders of magnitude, far past these bounds."""
+    import os
+
     from se195_raytracer_tpu.kernels.whitted_kernel import render_whitted_pallas
     from se195_raytracer_tpu.models.whitted import render_whitted_scene
     from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
 
+    golden = np.load(
+        os.path.join(
+            os.path.dirname(__file__), "goldens", "whitted_room_gate.npz"
+        )
+    )["image"]
     scene = WHITTED_SCENES["room"]()
     kw = dict(width=80, height=60, supersample=2, trace_depth=4)
     a = np.asarray(render_whitted_scene(scene, **kw))
     b = np.asarray(render_whitted_pallas(scene, **kw))
     assert np.isnan(a).sum() == 0 and np.isnan(b).sum() == 0
-    # 0..255 scale; near-tie winner flips allowed on few pixels.
+    for name, x in (("xla", a), ("pallas", b)):
+        d = np.abs(x - golden).max(axis=-1)  # 0..255 scale
+        assert (d > 1.0).mean() <= 0.03, (name, (d > 1.0).mean())
+        assert np.abs(x - golden).mean() <= 0.2, (name, np.abs(x - golden).mean())
     d = np.abs(a - b).max(axis=-1)
-    assert (d > 1.0).mean() <= 0.005
-    assert np.abs(a - b).mean() <= 0.05
+    assert (d > 1.0).mean() <= 0.03
+    assert np.abs(a - b).mean() <= 0.2
 
 
 def test_large_scene_loop_kernel_on_tpu(tpu):

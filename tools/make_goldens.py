@@ -45,6 +45,20 @@ def main():
     )
     print("wrote whitted_room")
 
+    # CPU anchor for the real-TPU whitted gate (tests/test_tpu.py): both
+    # TPU paths (XLA tree + Pallas heap kernel) are compared against this
+    # instead of only each other, so a regression in either is caught and
+    # platform float drift (TPU sqrt/div/rsqrt vs CPU, amplified through
+    # the 31-node reflect/refract tree) is budgeted once, from measurement.
+    img = render_whitted_scene(
+        room_scene(), width=80, height=60, supersample=2, trace_depth=4
+    )
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "whitted_room_gate.npz"),
+        image=np.asarray(img),
+    )
+    print("wrote whitted_room_gate")
+
     img = render_whitted5(
         room5_scene(textures="procedural"), width=48, height=36, spp=1, seed=3
     )
