@@ -1,0 +1,159 @@
+"""Scaling-efficiency harness — rays/s across mesh sizes.
+
+Two modes:
+
+* ``--virtual N`` (default 8): N virtual CPU devices in this process
+  (``xla_force_host_platform_device_count``) — measures the *sharding
+  harness* (shard_map dispatch, replication, assembly all-gather) and
+  asserts shard-count invariance of the image. Virtual devices
+  timeshare the same host cores, so wall-clock here bounds harness
+  overhead, not chip scaling; the committed artifact (SCALING.json)
+  records both the rays/s trend and the bitwise-invariance check.
+* ``--distributed``: real hardware. Brings up ``jax.distributed`` (args
+  auto-detected on cloud TPU pods, or pass --coordinator/--nproc/--pid),
+  meshes all visible chips, and measures the same workload per mesh
+  size that divides the device count. Run one copy per host:
+
+      python scripts/multihost_bench.py --distributed \
+          --coordinator host0:8476 --nproc 2 --pid $SLURM_PROCID
+
+BASELINE.json target: >= 85% rays/s efficiency at 1 chip / 1 host /
+N hosts. Reference anchor: the reference always ran devices[0]
+(smallptGPU.cpp:463-467) — this harness is the gap-filler (SURVEY §2e
+P7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=8,
+                    help="virtual CPU device count (0 = use real devices)")
+    ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--nproc", type=int, default=None)
+    ap.add_argument("--pid", type=int, default=None)
+    ap.add_argument("--mesh-sizes", default="",
+                    help="comma list; default = powers of 2 up to #devices")
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    if args.virtual and not args.distributed:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.virtual}"
+            ).strip()
+
+    import jax
+
+    if args.virtual and not args.distributed:
+        jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from se195_raytracer_tpu.parallel.render_sharded import (
+            initialize_multihost,
+        )
+
+        initialize_multihost(args.coordinator, args.nproc, args.pid)
+
+    import numpy as np
+
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.parallel.mesh import make_mesh
+    from se195_raytracer_tpu.parallel.render_sharded import render_sharded
+    from se195_raytracer_tpu.scenes.registry import get_scene
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    if args.mesh_sizes:
+        sizes = [int(s) for s in args.mesh_sizes.split(",")]
+    else:
+        sizes = []
+        k = 1
+        while k <= n_dev:
+            sizes.append(k)
+            k *= 2
+
+    spec = get_scene(args.scene)
+    scene, cam = spec.to_scene(), spec.to_camera()
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       seed=0)
+    rays = args.width * args.height * args.spp
+
+    rows = []
+    ref_img = None
+    for k in sizes:
+        mesh = make_mesh(devices[:k])
+        state_box = {}
+
+        def run():
+            img, st = render_sharded(
+                scene, cam, cfg, mesh=mesh, state=state_box.get("st")
+            )
+            state_box["st"] = st
+            return img
+
+        img = np.asarray(run())  # compile + warm
+        if ref_img is None:
+            ref_img = img
+            bitwise = True
+        else:
+            bitwise = bool(np.array_equal(ref_img, img))
+        best = float("inf")
+        for _ in range(args.reps):
+            state_box.pop("st")  # fresh accumulation each rep
+            t0 = time.perf_counter()
+            np.asarray(run())
+            best = min(best, time.perf_counter() - t0)
+        rows.append({
+            "mesh_devices": k,
+            "elapsed_s": round(best, 4),
+            "rays_per_sec": round(rays / best, 1),
+            "bitwise_equal_to_1dev": bitwise,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    base = rows[0]["rays_per_sec"]
+    for r in rows:
+        # On real chips this is the >=85% target; on virtual CPU devices
+        # all mesh sizes share the same cores, so ~1.0x is the ideal and
+        # the number reported is harness overhead.
+        r["speedup_vs_1dev"] = round(r["rays_per_sec"] / base, 3)
+        r["efficiency"] = round(r["speedup_vs_1dev"] / r["mesh_devices"], 3)
+
+    out = {
+        "mode": "distributed" if args.distributed else
+                f"virtual-cpu-{args.virtual}",
+        "platform": jax.default_backend(),
+        "n_processes": jax.process_count(),
+        "workload": {
+            "scene": args.scene, "width": args.width,
+            "height": args.height, "spp": args.spp,
+        },
+        "all_bitwise_invariant": all(
+            r["bitwise_equal_to_1dev"] for r in rows
+        ),
+        "results": rows,
+    }
+    if args.out and jax.process_index() == 0:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}")
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

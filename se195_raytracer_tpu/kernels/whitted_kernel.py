@@ -142,7 +142,7 @@ def _make_whitted_kernel(
         if camgen is None:
             rays_ref, out_ref, st_ref, live_ref = refs
         else:
-            out_ref, st_ref, live_ref = refs
+            cam_ref, out_ref, st_ref, live_ref = refs
         shape = (sublanes, LANES)
         zero = jnp.zeros(shape, jnp.float32)
         one = jnp.ones(shape, jnp.float32)
@@ -152,11 +152,15 @@ def _make_whitted_kernel(
                 return tuple(rays_ref[k] for k in range(6))
             w, h, ss = camgen
             ss2 = ss * ss
-            # Window / camera constants (raytracer_kernel.cl:267-281).
+            # Window constants (raytracer_kernel.cl:267-281); the
+            # viewpoint itself comes from the SMEM camera row
+            # [O(3), X(3), Y(3), C(3)] (models/whitted.py
+            # whitted_camera_row): dir = X*sx + Y*sy + C, so the fused
+            # path renders any camera — the default row reproduces the
+            # reference's fixed (0, 0.25, -7) formula exactly.
             wx1, wy1 = -3.0, 2.25
             dxs = np.float32(6.0 / w)
             dys = np.float32(-4.5 / h)
-            cam = (0.0, 0.25, -7.0)
             lin = (
                 pl.program_id(0) * (sublanes * LANES)
                 + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
@@ -179,13 +183,14 @@ def _make_whitted_kernel(
                 + y.astype(jnp.float32) * dys
                 + (tyi - half).astype(jnp.float32) * jnp.float32(dys / 2.0)
             )
-            rdx = sx - jnp.float32(cam[0])
-            rdy = sy - jnp.float32(cam[1])
-            rdz = -jnp.float32(cam[2]) + zero
+            cr = [cam_ref[0, k] for k in range(12)]
+            rdx = cr[3] * sx + cr[6] * sy + cr[9]
+            rdy = cr[4] * sx + cr[7] * sy + cr[10]
+            rdz = cr[5] * sx + cr[8] * sy + cr[11]
             inv = 1.0 / jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
-            ox = jnp.float32(cam[0]) + zero
-            oy = jnp.float32(cam[1]) + zero
-            oz = jnp.float32(cam[2]) + zero
+            ox = cr[0] + zero
+            oy = cr[1] + zero
+            oz = cr[2] + zero
             return ox, oy, oz, rdx * inv, rdy * inv, rdz * inv
 
         def sc(f, j):
@@ -552,6 +557,7 @@ def whitted_trace_pallas_padded(
 )
 def whitted_frame_pallas(
     scene_tab: jnp.ndarray,  # [18, N]
+    cam_row: jnp.ndarray | None = None,  # [12] whitted_camera_row
     *,
     ptype: Tuple[int, ...],
     is_light: Tuple[bool, ...],
@@ -564,10 +570,13 @@ def whitted_frame_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full-frame fused render: camera rays generated in-kernel from the
-    ray index, subsample reduction + tone scale on device. Returns
-    [H, W, 3] float32 in 0..255 (acc * 256 / ss^2, clamped —
+    ray index and the SMEM camera row (any viewpoint — default is the
+    reference's fixed one), subsample reduction + tone scale on device.
+    Returns [H, W, 3] float32 in 0..255 (acc * 256 / ss^2, clamped —
     raytracer_kernel.cl:378-382). The only host traffic is the scene
-    table down and the finished frame back."""
+    table + 12-float camera row down and the finished frame back."""
+    from se195_raytracer_tpu.models.whitted import whitted_camera_row
+
     n = scene_tab.shape[1]
     ss2 = supersample * supersample
     r = width * height * ss2
@@ -575,6 +584,8 @@ def whitted_frame_pallas(
     rp = ((r + tile - 1) // tile) * tile
     grid = rp // tile
     m_nodes = 2 ** (trace_depth + 1) - 1
+    if cam_row is None:
+        cam_row = jnp.asarray(whitted_camera_row())
 
     kernel = _make_whitted_kernel(
         n, ptype, is_light, trace_depth, hit_bias, sublanes,
@@ -583,7 +594,10 @@ def whitted_frame_pallas(
     acc = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # scene table
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scene table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera row (1, 12)
+        ],
         out_specs=pl.BlockSpec((3, sublanes, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, rp // LANES, LANES), jnp.float32),
@@ -592,7 +606,7 @@ def whitted_frame_pallas(
             pltpu.SMEM((m_nodes,), jnp.float32),
         ],
         interpret=interpret,
-    )(scene_tab)
+    )(scene_tab, cam_row.astype(jnp.float32).reshape(1, 12))
     flat = acc.reshape(3, rp)[:, :r].T  # [R, 3]
     img = flat.reshape(height, width, ss2, 3).sum(axis=2)
     return jnp.clip(img * jnp.float32(256.0 / ss2), 0.0, 255.0)
@@ -606,11 +620,14 @@ def render_whitted_pallas(
     trace_depth: int = 5,
     hit_bias: float = 0.0,
     interpret: bool = False,
+    cam_row: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full-frame Whitted render on the fused kernel -> [H, W, 3] in
-    0..255 scale."""
+    0..255 scale. ``cam_row`` (models/whitted.py whitted_camera_row)
+    selects the viewpoint; None = the reference's fixed camera."""
     return whitted_frame_pallas(
         pack_whitted_scene(scene),
+        cam_row,
         ptype=scene.ptype, is_light=scene.is_light,
         width=width, height=height, supersample=supersample,
         trace_depth=trace_depth, hit_bias=float(hit_bias),

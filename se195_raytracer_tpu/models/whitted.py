@@ -46,6 +46,45 @@ ORIGIN = 0
 REFLECTED = 1
 REFRACTED = 2
 
+# The reference's fixed viewpoint (raytracer_kernel.cl:267-281): camera
+# at (0, 0.25, -7), world-anchored screen window on the z=0 plane.
+DEFAULT_CAM_ORIG = (0.0, 0.25, -7.0)
+
+
+def whitted_camera_row(orig=None, target=None) -> np.ndarray:
+    """Affine camera for the Whitted family as a [12] float32 row
+    [O(3), X(3), Y(3), C(3)]: a primary ray through window point
+    (sx, sy) is  origin O, direction normalize(X*sx + Y*sy + C).
+
+    Default (no args) reproduces the reference's fixed viewpoint exactly:
+    O=(0,0.25,-7), X=e_x, Y=e_y, C=(0,-0.25,7) — i.e. dir =
+    (sx-0, sy-0.25, 7), the world-anchored z=0 screen of
+    raytracer_kernel.cl:267-281. With ``orig``/``target`` a look-at
+    basis is built (up = +y), the screen plane held at the reference's
+    distance 7 in front of the eye with the same window extents."""
+    f32 = np.float32
+    if orig is None and target is None:
+        o = np.array(DEFAULT_CAM_ORIG, f32)
+        x = np.array([1, 0, 0], f32)
+        y = np.array([0, 1, 0], f32)
+        c = np.array([0.0, -0.25, 7.0], f32)
+        return np.concatenate([o, x, y, c]).astype(f32)
+    o = np.asarray(
+        DEFAULT_CAM_ORIG if orig is None else orig, f32
+    )
+    t = np.asarray((0.0, 0.25, 0.0) if target is None else target, f32)
+    z = t - o
+    z = z / max(np.linalg.norm(z), 1e-12)
+    up = np.array([0, 1, 0], f32)
+    x = np.cross(up, z)
+    nx = np.linalg.norm(x)
+    if nx < 1e-6:  # looking straight up/down: fall back to world x
+        x = np.array([1, 0, 0], f32)
+    else:
+        x = x / nx
+    y = np.cross(z, x)
+    return np.concatenate([o, x, y, 7.0 * z]).astype(f32)
+
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
@@ -369,14 +408,24 @@ def whitted_camera_rays(
     jax.jit, static_argnames=("width", "height", "supersample")
 )
 def whitted_camera_rays_device(
-    width: int, height: int, supersample: int = 3
+    width: int,
+    height: int,
+    supersample: int = 3,
+    cam_row: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Device-side twin of ``whitted_camera_rays`` (same f32 formula, jnp
     ops): primary rays are a formula of the ray index, so generating them
-    on device replaces a [R, 6]-float host upload per frame."""
+    on device replaces a [R, 6]-float host upload per frame.
+
+    ``cam_row`` is the [12] affine camera of ``whitted_camera_row``
+    (O, X, Y, C); None = the reference's fixed viewpoint, bit-identical
+    to the historical formula."""
     ss2 = supersample * supersample
     r = width * height * ss2
     f32 = jnp.float32
+    if cam_row is None:
+        cam_row = jnp.asarray(whitted_camera_row())
+    cam_row = cam_row.astype(f32)
     dxs = np.float32(6.0 / width)
     dys = np.float32(-4.5 / height)
     half = supersample // 2
@@ -393,12 +442,12 @@ def whitted_camera_rays_device(
     sy = (f32(2.25) + y.astype(f32) * dys) + (tyi - half).astype(f32) * f32(
         dys / np.float32(2.0)
     )
-    rdx = sx - f32(0.0)
-    rdy = sy - f32(0.25)
-    rdz = jnp.full((r,), 7.0, f32)
+    rdx = cam_row[3] * sx + cam_row[6] * sy + cam_row[9]
+    rdy = cam_row[4] * sx + cam_row[7] * sy + cam_row[10]
+    rdz = cam_row[5] * sx + cam_row[8] * sy + cam_row[11]
     inv = f32(1.0) / jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
     d = jnp.stack([rdx * inv, rdy * inv, rdz * inv], axis=-1)
-    o = jnp.broadcast_to(jnp.asarray([0.0, 0.25, -7.0], f32), (r, 3))
+    o = jnp.broadcast_to(cam_row[0:3], (r, 3))
     return o, d
 
 
@@ -462,6 +511,7 @@ def render_whitted_scene(
     trace_depth: int = 5,
     hit_bias: float = 0.0,
     ray_tile: int | None = None,
+    cam_row: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full-frame Whitted render -> float32 [H, W, 3] in 0..255 scale
     (acc * 256 / supersample^2, clamped — raytracer_kernel.cl:378-382).
@@ -480,7 +530,7 @@ def render_whitted_scene(
         # VPU enough width per chunk.
         ray_tile = min(n, 256 * 1024)
     ray_tile = min(ray_tile, n)
-    o, d = whitted_camera_rays_device(width, height, supersample)
+    o, d = whitted_camera_rays_device(width, height, supersample, cam_row)
     return _whitted_frame_xla(
         scene, o, d, width=width, height=height, supersample=supersample,
         trace_depth=trace_depth, hit_bias=float(hit_bias),

@@ -219,21 +219,30 @@ def _box_normal_static(scene: Whitted5Scene, j: int) -> jnp.ndarray:
     return normals[jnp.argmin(cands)]
 
 
+def _static_normals(scene: Whitted5Scene) -> jnp.ndarray:
+    """[N, 3] table of the position-independent normals: plane normals and
+    the reference's constant Box::GetNormal; sphere rows are unused (their
+    normal is position-dependent and selected per lane in get_normal)."""
+    rows = []
+    for j in range(scene.num_prims):
+        if scene.ptype[j] == PLANE5:
+            rows.append(scene.normal[j])
+        elif scene.ptype[j] == BOX5:
+            rows.append(_box_normal_static(scene, j))
+        else:
+            rows.append(jnp.zeros(3, jnp.float32))
+    return jnp.stack(rows)
+
+
 def get_normal(scene: Whitted5Scene, idx: jnp.ndarray, point: jnp.ndarray):
-    """Per-lane normal by primitive class."""
+    """Per-lane normal by primitive class: ONE gather from the static
+    normal table (planes/boxes) selected against the sphere formula —
+    O(1) ops in scene size instead of a where-chain per primitive."""
     n_sphere = (point - scene.center[idx]) * (
         1.0 / jnp.where(scene.radius[idx] != 0.0, scene.radius[idx], 1.0)
     )[:, None]
-    out = n_sphere
-    type_arr = np.array(scene.ptype)
-    for j in range(scene.num_prims):
-        if type_arr[j] == PLANE5:
-            out = jnp.where((idx == j)[:, None], scene.normal[j][None], out)
-        elif type_arr[j] == BOX5:
-            out = jnp.where(
-                (idx == j)[:, None], _box_normal_static(scene, j)[None], out
-            )
-    return out
+    is_sphere = jnp.asarray(np.array(scene.ptype) == SPHERE5)[idx]
+    return jnp.where(is_sphere[:, None], n_sphere, _static_normals(scene)[idx])
 
 
 def _texel(bitmap: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

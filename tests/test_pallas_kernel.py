@@ -89,6 +89,42 @@ def test_whitted_pallas_matches_jnp():
     np.testing.assert_allclose(img_pal, img_ref, rtol=1e-3, atol=2e-2)
 
 
+def test_whitted_pallas_moved_camera_matches_jnp():
+    """The fused kernel's in-kernel camgen is parameterized by the SMEM
+    camera row (whitted_camera_row) — a moved look-at viewpoint must
+    match the XLA path on the same row, so the fast path is not locked
+    to the reference's hard-coded camera."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from se195_raytracer_tpu.kernels.whitted_kernel import render_whitted_pallas
+    from se195_raytracer_tpu.models.whitted import (
+        render_whitted_scene,
+        whitted_camera_row,
+    )
+    from se195_raytracer_tpu.scenes.whitted_scenes import WHITTED_SCENES
+
+    scene = WHITTED_SCENES["room"]()
+    row = jnp.asarray(
+        whitted_camera_row(orig=(1.5, 1.0, -6.0), target=(0.0, 0.0, 2.0))
+    )
+    kw = dict(width=40, height=30, supersample=2, trace_depth=3)
+    img_ref = np.asarray(render_whitted_scene(scene, cam_row=row, **kw))
+    img_pal = np.asarray(
+        render_whitted_pallas(scene, cam_row=row, interpret=True, **kw)
+    )
+    assert _np.abs(img_ref).max() > 1.0  # scene visible from new viewpoint
+    np.testing.assert_allclose(img_pal, img_ref, rtol=1e-3, atol=2e-2)
+    # And the default row IS the reference camera (tiny drift allowed:
+    # an explicit row is traced data, so XLA can't constant-fold the
+    # 1*sx + 0*sy terms it folds on the None path).
+    img_default = np.asarray(render_whitted_scene(scene, **kw))
+    img_row = np.asarray(
+        render_whitted_scene(scene, cam_row=jnp.asarray(whitted_camera_row()), **kw)
+    )
+    np.testing.assert_allclose(img_row, img_default, atol=1e-2)
+
+
 def test_pallas_progressive_resume():
     spec = get_scene("cornell")
     scene, cam = spec.to_scene(), spec.to_camera()

@@ -112,6 +112,47 @@ def main():
             )
             print(json.dumps(results[-1]), flush=True)
 
+    # raytracer5 family (whitted5): brute 1-ray and adaptive 1-vs-4-ray
+    # at the reference's 320x240 default (raytracer.h GRIDSIZE era —
+    # testapp.cpp window), plus 800x600.
+    from se195_raytracer_tpu.models.whitted5 import (
+        render_whitted5,
+        render_whitted5_adaptive,
+    )
+    from se195_raytracer_tpu.scenes.whitted5_scenes import WHITTED5_SCENES
+
+    scene5 = WHITTED5_SCENES["room5"]()
+    for w, h in [(320 // s, 240 // s), (800 // s, 600 // s)]:
+        for mode in ("brute", "adaptive"):
+            if mode == "brute":
+                def run(scene5=scene5, w=w, h=h):
+                    return render_whitted5(scene5, width=w, height=h, spp=1)
+                rays = w * h
+            else:
+                frac_box = {}
+
+                def run(scene5=scene5, w=w, h=h, frac_box=frac_box):
+                    img, frac = render_whitted5_adaptive(
+                        scene5, width=w, height=h
+                    )
+                    frac_box["f"] = frac
+                    return img
+
+                rays = w * h  # 1-4 rays/pixel; count pixels like the ref
+            elapsed = timed(run)
+            row = {
+                "config": f"whitted5_room5_{w}x{h}_{mode}",
+                "n_prims": scene5.num_prims,
+                "rays": rays,
+                "elapsed_s": round(elapsed, 5),
+                "rays_per_sec": round(rays / elapsed, 1),
+                "pallas": False,
+            }
+            if mode == "adaptive":
+                row["edge_fraction"] = round(float(frac_box["f"]), 4)
+            results.append(row)
+            print(json.dumps(results[-1]), flush=True)
+
     summary = {
         "device": str(jax.devices()[0]),
         "results": results,
