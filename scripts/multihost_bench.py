@@ -127,11 +127,20 @@ def main():
 
     base = rows[0]["rays_per_sec"]
     for r in rows:
-        # On real chips this is the >=85% target; on virtual CPU devices
-        # all mesh sizes share the same cores, so ~1.0x is the ideal and
-        # the number reported is harness overhead.
         r["speedup_vs_1dev"] = round(r["rays_per_sec"] / base, 3)
-        r["efficiency"] = round(r["speedup_vs_1dev"] / r["mesh_devices"], 3)
+        if args.distributed:
+            # Real chips: per-chip parallel efficiency, the >=85% target.
+            r["efficiency"] = round(r["speedup_vs_1dev"] / r["mesh_devices"], 3)
+        else:
+            # Virtual CPU devices timeshare the same host cores: total
+            # compute capacity is CONSTANT across mesh sizes, so the
+            # ideal is speedup 1.0x and any shortfall is pure sharding-
+            # harness overhead (shard_map dispatch + assembly), NOT a
+            # parallel-efficiency number. Dividing by mesh size would
+            # be meaningless here.
+            r["harness_overhead_pct"] = round(
+                max(0.0, 1.0 - r["speedup_vs_1dev"]) * 100.0, 1
+            )
 
     out = {
         "mode": "distributed" if args.distributed else

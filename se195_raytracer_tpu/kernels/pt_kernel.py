@@ -297,7 +297,17 @@ def _make_kernel(
             return occ > 0.5
 
         # --- bounce loop (geomfunc.h:182-336), unrolled max_depth times ---
-        for _depth in range(max_depth):
+        # Large scenes (loop_scene) wrap each bounce — and the NEE/diffuse
+        # block inside it — in a lax.cond keyed on whether ANY lane in the
+        # [sublanes, 128] tile still needs it: a tile whose rays all
+        # escaped the (open) complex fractal scene skips the remaining
+        # bounces' 783-sphere sweeps entirely. Every RNG draw inside the
+        # skipped regions is already masked (rng_masked) by a subset of
+        # the skip predicate, so skipping is stream-identical to
+        # executing — the Pallas output stays bit-equal to the jnp path.
+        def bounce(carry):
+            (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
+             thr_r, thr_g, thr_b, alive_f, spec_f, s0, s1) = carry
             t, hit, attrs = nearest(ox, oy, oz, dx, dy, dz)
             (ccx, ccy, ccz, ex, ey, ez, cr, cg, cb, mat, emissive_f) = attrs
             act = (alive_f > 0.5) & hit
@@ -332,71 +342,90 @@ def _make_kernel(
 
             tcr, tcg, tcb = thr_r * cr, thr_g * cg, thr_b * cb
 
-            # --- SampleLights (geomfunc.h:112-165) ---
-            ld_r, ld_g, ld_b = zero, zero, zero
-            for li in light_indices:
-                # right-to-left C arg evaluation: first draw -> u2 (phi),
-                # second -> u1 (zz). See models/smallpt.py sample_lights.
-                u2, s0, s1 = rng_masked(s0, s1, is_diff)
-                u1, s0, s1 = rng_masked(s0, s1, is_diff)
-                zz = 1.0 - 2.0 * u1
-                rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
-                phi = jnp.float32(2.0 * np.pi) * u2
-                ux = rr * jnp.cos(phi)
-                uy = rr * jnp.sin(phi)
-                uz = zz
-                lrad = sc(3, li)
-                spx = lrad * ux + sc(0, li) - hx
-                spy = lrad * uy + sc(1, li) - hy
-                spz = lrad * uz + sc(2, li) - hz
-                ln = jnp.sqrt(spx * spx + spy * spy + spz * spz)
-                ln_s = jnp.maximum(ln, 1e-20)
-                sdx, sdy, sdz = spx / ln_s, spy / ln_s, spz / ln_s
-                wo = sdx * ux + sdy * uy + sdz * uz
-                wi = sdx * nlx + sdy * nly + sdz * nlz
-                occ = any_hit(hx, hy, hz, sdx, sdy, sdz, ln - eps)
-                s_fac = (
-                    jnp.float32(4.0 * np.pi)
-                    * lrad
-                    * lrad
-                    * wi
-                    * (-wo)
-                    / (ln_s * ln_s)
+            # --- SampleLights (geomfunc.h:112-165) + diffuse bounce dir:
+            # everything in here is gated lane-wise on is_diff, so the
+            # whole block can be tile-skipped when no lane is diffuse.
+            def diffuse_block(carry):
+                s0, s1 = carry
+                ld_r, ld_g, ld_b = zero, zero, zero
+                for li in light_indices:
+                    # right-to-left C arg evaluation: first draw -> u2
+                    # (phi), second -> u1 (zz). See models/smallpt.py
+                    # sample_lights.
+                    u2, s0, s1 = rng_masked(s0, s1, is_diff)
+                    u1, s0, s1 = rng_masked(s0, s1, is_diff)
+                    zz = 1.0 - 2.0 * u1
+                    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
+                    phi = jnp.float32(2.0 * np.pi) * u2
+                    ux = rr * jnp.cos(phi)
+                    uy = rr * jnp.sin(phi)
+                    uz = zz
+                    lrad = sc(3, li)
+                    spx = lrad * ux + sc(0, li) - hx
+                    spy = lrad * uy + sc(1, li) - hy
+                    spz = lrad * uz + sc(2, li) - hz
+                    ln = jnp.sqrt(spx * spx + spy * spy + spz * spz)
+                    ln_s = jnp.maximum(ln, 1e-20)
+                    sdx, sdy, sdz = spx / ln_s, spy / ln_s, spz / ln_s
+                    wo = sdx * ux + sdy * uy + sdz * uz
+                    wi = sdx * nlx + sdy * nly + sdz * nlz
+                    occ = any_hit(hx, hy, hz, sdx, sdy, sdz, ln - eps)
+                    s_fac = (
+                        jnp.float32(4.0 * np.pi)
+                        * lrad
+                        * lrad
+                        * wi
+                        * (-wo)
+                        / (ln_s * ln_s)
+                    )
+                    ok = (wo <= 0.0) & (wi > 0.0) & ~occ & is_diff
+                    s_fac = jnp.where(ok, s_fac, 0.0)
+                    ld_r = ld_r + s_fac * sc(4, li)
+                    ld_g = ld_g + s_fac * sc(5, li)
+                    ld_b = ld_b + s_fac * sc(6, li)
+
+                # --- diffuse bounce direction (geomfunc.h:242-265) ---
+                if not direct_only:
+                    r1u, s0, s1 = rng_masked(s0, s1, is_diff)
+                    r2u, s0, s1 = rng_masked(s0, s1, is_diff)
+                    ang = jnp.float32(2.0 * np.pi) * r1u
+                    r2s = jnp.sqrt(r2u)
+                    big_x = jnp.abs(nlx) > 0.1
+                    ax = jnp.where(big_x, 0.0, 1.0)
+                    ay = jnp.where(big_x, 1.0, 0.0)
+                    # u = norm(a x w); v = w x u
+                    ux0 = ay * nlz
+                    uy0 = -ax * nlz
+                    uz0 = ax * nly - ay * nlx
+                    ux1, uy1, uz1 = _norm3(ux0, uy0, uz0)
+                    vx = nly * uz1 - nlz * uy1
+                    vy = nlz * ux1 - nlx * uz1
+                    vz = nlx * uy1 - nly * ux1
+                    ca, sa = jnp.cos(ang) * r2s, jnp.sin(ang) * r2s
+                    wsc = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2u))
+                    ndx = ux1 * ca + vx * sa + nlx * wsc
+                    ndy = uy1 * ca + vy * sa + nly * wsc
+                    ndz = uz1 * ca + vz * sa + nlz * wsc
+                else:
+                    ndx, ndy, ndz = dx, dy, dz
+                return ld_r, ld_g, ld_b, ndx, ndy, ndz, s0, s1
+
+            if loop_scene:
+                any_diff = jnp.sum(jnp.where(is_diff, one, zero)) > 0.0
+                (ld_r, ld_g, ld_b, ndx, ndy, ndz, s0, s1) = jax.lax.cond(
+                    any_diff,
+                    diffuse_block,
+                    lambda c: (zero, zero, zero, dx, dy, dz) + c,
+                    (s0, s1),
                 )
-                ok = (wo <= 0.0) & (wi > 0.0) & ~occ & is_diff
-                s_fac = jnp.where(ok, s_fac, 0.0)
-                ld_r = ld_r + s_fac * sc(4, li)
-                ld_g = ld_g + s_fac * sc(5, li)
-                ld_b = ld_b + s_fac * sc(6, li)
+            else:
+                (ld_r, ld_g, ld_b, ndx, ndy, ndz, s0, s1) = diffuse_block(
+                    (s0, s1)
+                )
 
             rad_r = rad_r + jnp.where(is_diff, tcr * ld_r, 0.0)
             rad_g = rad_g + jnp.where(is_diff, tcg * ld_g, 0.0)
             rad_b = rad_b + jnp.where(is_diff, tcb * ld_b, 0.0)
-
-            # --- diffuse bounce direction (geomfunc.h:242-265) ---
-            if not direct_only:
-                r1u, s0, s1 = rng_masked(s0, s1, is_diff)
-                r2u, s0, s1 = rng_masked(s0, s1, is_diff)
-                ang = jnp.float32(2.0 * np.pi) * r1u
-                r2s = jnp.sqrt(r2u)
-                big_x = jnp.abs(nlx) > 0.1
-                ax = jnp.where(big_x, 0.0, 1.0)
-                ay = jnp.where(big_x, 1.0, 0.0)
-                # u = norm(a x w); v = w x u
-                ux0 = ay * nlz
-                uy0 = -ax * nlz
-                uz0 = ax * nly - ay * nlx
-                ux1, uy1, uz1 = _norm3(ux0, uy0, uz0)
-                vx = nly * uz1 - nlz * uy1
-                vy = nlz * ux1 - nlx * uz1
-                vz = nlx * uy1 - nly * ux1
-                ca, sa = jnp.cos(ang) * r2s, jnp.sin(ang) * r2s
-                wsc = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2u))
-                ndx = ux1 * ca + vx * sa + nlx * wsc
-                ndy = uy1 * ca + vy * sa + nly * wsc
-                ndz = uz1 * ca + vz * sa + nlz * wsc
-            else:
-                ndx, ndy, ndz = dx, dy, dz
 
             # --- SPEC reflect (geomfunc.h:270-280) ---
             k2dp = 2.0 * dp
@@ -456,6 +485,19 @@ def _make_kernel(
                 alive_f = jnp.where(live & ~is_diff, 1.0, 0.0)
             else:
                 alive_f = jnp.where(live, 1.0, 0.0)
+            return (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
+                    thr_r, thr_g, thr_b, alive_f, spec_f, s0, s1)
+
+        carry = (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
+                 thr_r, thr_g, thr_b, alive_f, spec_f, s0, s1)
+        for _depth in range(max_depth):
+            if loop_scene:
+                any_alive = jnp.sum(carry[12]) > 0.0
+                carry = jax.lax.cond(any_alive, bounce, lambda c: c, carry)
+            else:
+                carry = bounce(carry)
+        (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
+         thr_r, thr_g, thr_b, alive_f, spec_f, s0, s1) = carry
 
         # --- running-mean accumulate (rendering_kernel.cl:80-89) ---
         samp = samp_ref[0, 0].astype(jnp.float32)

@@ -54,7 +54,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from se195_raytracer_tpu.core.rng import MWCState, mwc_next_masked
+from se195_raytracer_tpu.core.rng import MWCState, counter_next_masked
 from se195_raytracer_tpu.scenes.whitted5_scenes import (
     BOX5,
     BOX_LIGHT_GRID,
@@ -74,6 +74,19 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+@functools.lru_cache(maxsize=64)
+def _type_partition(ptype: Tuple[int, ...]):
+    """Static partition of primitive indices by class + the inverse
+    permutation that restores original order after per-class concat."""
+    t = np.array(ptype, np.int32)
+    sph = np.nonzero(t == SPHERE5)[0]
+    pla = np.nonzero(t == PLANE5)[0]
+    box = np.nonzero(t == BOX5)[0]
+    perm = np.concatenate([sph, pla, box])
+    inv = np.argsort(perm)
+    return sph, pla, box, inv
+
+
 def _prim_candidates(scene: Whitted5Scene, o: jnp.ndarray, d: jnp.ndarray):
     """Per-primitive candidate hits, [R, N] each: (dist, code, valid).
 
@@ -85,65 +98,87 @@ def _prim_candidates(scene: Whitted5Scene, o: jnp.ndarray, d: jnp.ndarray):
       dist > 0 rejection (faithful)
     * box — scene.cpp:306-350: six slab distances, point-in-box with
       +-EPSILON slack, smallest positive candidate
+
+    The primitive table is partitioned by class (statically, from the
+    pytree-aux ``ptype``) so each class formula runs only on its own
+    columns — the reference dispatches per-primitive virtual Intersect
+    calls (raytracer.cpp:228-237); a vector machine instead evaluates
+    each class once on its compact [R, N_class] block and stitches the
+    columns back in original primitive order (tie-break order preserved).
     """
-    r = o.shape[0]
-    n = scene.num_prims
-    type_arr = np.array(scene.ptype, np.int32)
+    sph, pla, box, inv = _type_partition(scene.ptype)
+    dists, valids, codes = [], [], []
 
-    # Spheres.
-    v = o[:, None, :] - scene.center[None, :, :]
-    sb = -jnp.sum(v * d[:, None, :], axis=-1)
-    det = sb * sb - jnp.sum(v * v, axis=-1) + (scene.radius * scene.radius)[None, :]
-    s_ok = det > 0.0
-    sq = jnp.sqrt(jnp.where(s_ok, det, 1.0))
-    i1 = sb - sq
-    i2 = sb + sq
-    s_ok = s_ok & (i2 > 0.0)
-    s_inprim = i1 < 0.0
-    s_dist = jnp.where(s_inprim, i2, i1)
+    if sph.size:
+        # Spheres.
+        v = o[:, None, :] - scene.center[sph][None, :, :]
+        sb = -jnp.sum(v * d[:, None, :], axis=-1)
+        rad = scene.radius[sph]
+        det = sb * sb - jnp.sum(v * v, axis=-1) + (rad * rad)[None, :]
+        s_ok = det > 0.0
+        sq = jnp.sqrt(jnp.where(s_ok, det, 1.0))
+        i1 = sb - sq
+        i2 = sb + sq
+        s_ok = s_ok & (i2 > 0.0)
+        s_inprim = i1 < 0.0
+        dists.append(jnp.where(s_inprim, i2, i1))
+        valids.append(s_ok)
+        codes.append(
+            jnp.where(s_inprim, jnp.int32(INPRIM), jnp.int32(HIT))
+        )
 
-    # Planes (one-sided). precision=HIGHEST: XLA-TPU otherwise runs these
-    # on the MXU in bf16 and the rounding eats epsilon-scale offsets
-    # (self-shadowing) — geometry contractions must be f32.
-    hi = jax.lax.Precision.HIGHEST
-    pd = jnp.einsum("nk,rk->rn", scene.normal, d, precision=hi)
-    p_ok = pd < 0.0
-    pd_safe = jnp.where(pd != 0.0, pd, 1.0)
-    p_dist = -(
-        jnp.einsum("nk,rk->rn", scene.normal, o, precision=hi)
-        + scene.depth[None, :]
-    ) / pd_safe
+    if pla.size:
+        # Planes (one-sided). precision=HIGHEST: XLA-TPU otherwise runs
+        # these on the MXU in bf16 and the rounding eats epsilon-scale
+        # offsets (self-shadowing) — geometry contractions must be f32.
+        hi = jax.lax.Precision.HIGHEST
+        nrm = scene.normal[pla]
+        pd = jnp.einsum("nk,rk->rn", nrm, d, precision=hi)
+        p_ok = pd < 0.0
+        pd_safe = jnp.where(pd != 0.0, pd, 1.0)
+        p_dist = -(
+            jnp.einsum("nk,rk->rn", nrm, o, precision=hi)
+            + scene.depth[pla][None, :]
+        ) / pd_safe
+        dists.append(p_dist)
+        valids.append(p_ok)
+        codes.append(jnp.full(p_dist.shape, HIT, jnp.int32))
 
-    # Boxes: six slabs.
-    v1 = scene.box_pos  # [N, 3]
-    v2 = scene.box_pos + scene.box_size
-    d_exp = d[:, None, :]
-    o_exp = o[:, None, :]
-    d_safe = jnp.where(d_exp != 0.0, d_exp, 1.0)
-    t_lo = (v1[None] - o_exp) / d_safe  # [R, N, 3]
-    t_hi = (v2[None] - o_exp) / d_safe
-    cand = jnp.concatenate([t_lo, t_hi], axis=-1)  # [R, N, 6]
-    axis_ok = jnp.concatenate([d_exp != 0.0, d_exp != 0.0], axis=-1)
-    ip = o_exp[..., None, :] + cand[..., :, None] * d_exp[..., None, :]  # [R,N,6,3]
-    eps = jnp.float32(EPSILON5)
-    inside = jnp.all(
-        (ip > (v1[None, :, None, :] - eps)) & (ip < (v2[None, :, None, :] + eps)),
-        axis=-1,
-    )  # [R, N, 6]
-    face_ok = axis_ok & (cand > 0.0) & inside
-    cand_masked = jnp.where(face_ok, cand, jnp.float32(1e30))
-    b_dist = jnp.min(cand_masked, axis=-1)  # [R, N]
-    b_ok = jnp.any(face_ok, axis=-1)
+    if box.size:
+        # Boxes: six slab faces (scene.cpp:306-350), evaluated one face
+        # at a time with a running min — same candidates and predicates
+        # as the reference's loop, but peak temporaries stay [R, Nb]
+        # instead of the [R, Nb, 6, 3] hit-point tensor (which at the
+        # deep tree levels' 8R batches cost gigabytes of HLO temps).
+        v1 = scene.box_pos[box]  # [Nb, 3]
+        v2 = v1 + scene.box_size[box]
+        eps = jnp.float32(EPSILON5)
+        b_dist = jnp.full((o.shape[0], box.size), 1e30, jnp.float32)
+        b_ok = jnp.zeros((o.shape[0], box.size), bool)
+        for axis in range(3):
+            d_a = d[:, axis : axis + 1]  # [R, 1]
+            o_a = o[:, axis : axis + 1]
+            d_safe = jnp.where(d_a != 0.0, d_a, 1.0)
+            axis_ok = d_a != 0.0
+            for bound in (v1, v2):
+                t_f = (bound[None, :, axis] - o_a) / d_safe  # [R, Nb]
+                inside = jnp.ones_like(b_ok)
+                for a2 in range(3):
+                    ip_a = o[:, a2 : a2 + 1] + t_f * d[:, a2 : a2 + 1]
+                    inside = inside & (
+                        (ip_a > v1[None, :, a2] - eps)
+                        & (ip_a < v2[None, :, a2] + eps)
+                    )
+                face_ok = axis_ok & (t_f > 0.0) & inside
+                b_dist = jnp.where(face_ok & (t_f < b_dist), t_f, b_dist)
+                b_ok = b_ok | face_ok
+        dists.append(b_dist)
+        valids.append(b_ok)
+        codes.append(jnp.full((o.shape[0], box.size), HIT, jnp.int32))
 
-    is_sphere = jnp.asarray(type_arr == SPHERE5)[None, :]
-    is_plane = jnp.asarray(type_arr == PLANE5)[None, :]
-    dist = jnp.where(is_sphere, s_dist, jnp.where(is_plane, p_dist, b_dist))
-    valid = jnp.where(is_sphere, s_ok, jnp.where(is_plane, p_ok, b_ok))
-    code = jnp.where(
-        is_sphere & s_inprim,
-        jnp.int32(INPRIM),
-        jnp.int32(HIT),
-    )
+    dist = jnp.concatenate(dists, axis=1)[:, inv]
+    valid = jnp.concatenate(valids, axis=1)[:, inv]
+    code = jnp.concatenate(codes, axis=1)[:, inv]
     return dist, code, valid
 
 
@@ -156,20 +191,18 @@ def find_nearest(
     Returns (idx [R] int32, code [R], dist [R]); idx = -1 on miss.
     """
     dist, code, valid = _prim_candidates(scene, o, d)
-    n = scene.num_prims
-
-    def body(j, carry):
-        best, idx, res = carry
-        upd = valid[:, j] & (dist[:, j] < best)
-        best = jnp.where(upd, dist[:, j], best)
-        idx = jnp.where(upd, j, idx)
-        res = jnp.where(upd, code[:, j], res)
-        return best, idx, res
-
-    best0 = jnp.full((o.shape[0],), jnp.float32(max_dist))
-    idx0 = jnp.full((o.shape[0],), -1, jnp.int32)
-    res0 = jnp.full((o.shape[0],), MISS, jnp.int32)
-    best, idx, res = jax.lax.fori_loop(0, n, body, (best0, idx0, res0))
+    # Ascending-order strict-improvement scan == first-index argmin over
+    # the masked distances (jnp.argmin returns the FIRST minimum, exactly
+    # the reference's `dist < best` tie-break).
+    dm = jnp.where(valid, dist, jnp.float32(np.inf))
+    best = jnp.min(dm, axis=1)
+    amin = jnp.argmin(dm, axis=1).astype(jnp.int32)
+    hit = best < jnp.float32(max_dist)
+    idx = jnp.where(hit, amin, -1)
+    res = jnp.where(
+        hit, jnp.take_along_axis(code, amin[:, None], axis=1)[:, 0], MISS
+    )
+    best = jnp.where(hit, best, jnp.float32(max_dist))
     return idx, res, best
 
 
@@ -179,18 +212,11 @@ def _nearest_is(
     """True where the nearest primitive within max_dist is ``target`` —
     the CalcShade visibility test (shadow rays must reach the light
     itself, raytracer.cpp:379-384,396-401)."""
-    dist, code, valid = _prim_candidates(scene, o, d)
-    n = scene.num_prims
-
-    def body(j, carry):
-        best, idx = carry
-        upd = valid[:, j] & (dist[:, j] < best)
-        return jnp.where(upd, dist[:, j], best), jnp.where(upd, j, idx)
-
-    best0 = max_dist
-    idx0 = jnp.full((o.shape[0],), -1, jnp.int32)
-    _, idx = jax.lax.fori_loop(0, n, body, (best0, idx0))
-    return idx == target
+    dist, _, valid = _prim_candidates(scene, o, d)
+    dm = jnp.where(valid, dist, jnp.float32(np.inf))
+    best = jnp.min(dm, axis=1)
+    amin = jnp.argmin(dm, axis=1).astype(jnp.int32)
+    return (best < max_dist) & (amin == target)
 
 
 def _box_normal_static(scene: Whitted5Scene, j: int) -> jnp.ndarray:
@@ -334,8 +360,8 @@ def calc_shade(
     shade = jnp.zeros(point.shape[0])
     sscale = jnp.float32(1.0 / n_samples)
     for i in range(n_samples):
-        u1, state = mwc_next_masked(state, draw_mask)
-        u2, state = mwc_next_masked(state, draw_mask)
+        u1, state = counter_next_masked(state, draw_mask)
+        u2, state = counter_next_masked(state, draw_mask)
         gx = grid[i & 15, 0] * (size[0] / 4.0) + pos[0] + u1 * deltax
         gz = grid[i & 15, 1] * (size[2] / 4.0) + pos[2] + u2 * deltay
         lp = jnp.stack([gx, jnp.full_like(gx, pos[1]), gz], axis=-1)
@@ -404,6 +430,23 @@ def _shade_node(
     return idx, code, dist_safe, point, color, n_hit, local, state
 
 
+# Counter budget reserved per trace pass: successive passes (spp loop,
+# adaptive extra rays) start their draw counters this far apart, so no
+# (node key, counter) pair ever repeats across passes. Max actual draws
+# per node = 2 glossy + lights*2*samples << this.
+PASS_DRAW_BUDGET = 1 << 10
+
+
+def _node_key(key: jnp.ndarray, heap_id: jnp.ndarray) -> jnp.ndarray:
+    """Mix a ray-tree heap index into the per-ray RNG key so every node
+    of the tree draws an independent stream (SplitMix-style round)."""
+    x = key ^ (heap_id * jnp.uint32(0x9E3779B9) + jnp.uint32(0x7F4A7C15))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x21F0AAAD)
+    x = x ^ (x >> 15)
+    return x
+
+
 def whitted5_trace(
     scene: Whitted5Scene,
     o: jnp.ndarray,
@@ -412,41 +455,77 @@ def whitted5_trace(
     trace_depth: int = TRACEDEPTH5,
     area_samples_by_level: Tuple[int, ...] = (4, 2, 1, 1),
 ) -> Tuple[jnp.ndarray, MWCState]:
-    """Batched recursive trace, unrolled as a binary tree of depth
-    ``trace_depth`` (depth starts at 1 as in RenderRay,
-    raytracer.cpp:457-474). Returns (accumulated color [R, 3], state)."""
-    eps = jnp.float32(EPSILON5)
-    acc_total = jnp.zeros_like(o)
+    """Batched binary reflect/refract tree of depth ``trace_depth``
+    (depth starts at 1 as in RenderRay, raytracer.cpp:457-474),
+    evaluated LEVELWISE: all 2^(l-1) nodes of level l fold into one
+    batched ``_shade_node`` call over a [K*R] ray batch (node-major).
 
-    def node(level, o, d, weight, beer, rindex, valid, state):
-        nonlocal acc_total
-        n_samp = area_samples_by_level[min(level, len(area_samples_by_level) - 1)]
-        idx, code, dist, point, color, n_hit, local, state = _shade_node(
-            scene, o, d, state, valid, n_samp
+    The reference recurses node-by-node (Engine::Raytrace,
+    raytracer.cpp:228-363); unrolling that recursion emits 2^depth-1
+    distinct shading graphs, which at depth 4 takes XLA-TPU tens of
+    minutes to compile (and trips a compiler crash in the fusion cost
+    model). The levelwise form emits ``depth`` graphs on strictly larger
+    batches — the right shape for a vector machine, same estimator.
+
+    RNG is the counter generator (core/rng.py counter_next): ``state`` is
+    a (key[R], counter[R]) pair; each tree node derives an independent
+    stream by mixing its heap index into the key (``_node_key``), and the
+    returned state advances the counter by ``PASS_DRAW_BUDGET`` so
+    successive passes stay decorrelated. (The reference uses MT19937
+    here — twister.cpp — which SURVEY §2d marks "no parity needed".)
+
+    Returns (accumulated color [R, 3], advanced state)."""
+    eps = jnp.float32(EPSILON5)
+    r = o.shape[0]
+    key_in, ctr_in = state
+    key_in = key_in.astype(jnp.uint32)
+    ctr_in = ctr_in.astype(jnp.uint32)
+    acc_total = jnp.zeros_like(o)
+    is_light_arr = jnp.asarray(np.array(scene.is_light, bool))
+
+    heap_ids = [0]
+    o_b, d_b = o, d
+    weight = jnp.ones_like(o)
+    beer = jnp.zeros_like(o)
+    rindex = jnp.ones(r, jnp.float32)
+    valid = jnp.ones(r, bool)
+
+    for level in range(1, trace_depth + 1):
+        k = len(heap_ids)
+        n_samp = area_samples_by_level[
+            min(level, len(area_samples_by_level) - 1)
+        ]
+        hvec = jnp.repeat(
+            jnp.asarray(np.array(heap_ids, np.uint32)), r
+        )  # [K*R], node-major
+        st = (
+            _node_key(jnp.tile(key_in, k), hvec),
+            jnp.tile(ctr_in, k),
+        )
+        idx, code, dist, point, color, n_hit, local, st = _shade_node(
+            scene, o_b, d_b, st, valid, n_samp
         )
         hit = idx >= 0
         safe = jnp.maximum(idx, 0)
         # Beer's law completes at this node using our own travel distance
         # (raytracer.cpp:353-356); beer == 0 means no absorption.
         w_eff = weight * jnp.exp(beer * (-dist)[:, None])
-        acc_total = acc_total + jnp.where(
-            (valid & hit)[:, None], w_eff * local, 0.0
-        )
+        contrib = jnp.where((valid & hit)[:, None], w_eff * local, 0.0)
+        acc_total = acc_total + contrib.reshape(k, r, 3).sum(axis=0)
         if level >= trace_depth:
-            return state
+            break
 
-        is_light_arr = jnp.asarray(np.array(scene.is_light, bool))
         shaded = valid & hit & ~is_light_arr[safe]
 
-        # Reflection child (perfect or glossy; raytracer.cpp:287-335).
+        # Reflection children (perfect or glossy; raytracer.cpp:287-335).
         refl = scene.refl[safe]
         drefl = scene.drefl[safe]
-        rdir = d - (2.0 * _dot(d, n_hit))[:, None] * n_hit
+        rdir = d_b - (2.0 * _dot(d_b, n_hit))[:, None] * n_hit
         glossy_ok = shaded & (refl > 0.0) & (drefl > 0.0) & (level < 3)
         # One stochastic disc sample per pass (estimator-equivalent to the
         # reference's in-node average of SAMPLES=4 draws).
-        u1, state = mwc_next_masked(state, glossy_ok)
-        u2, state = mwc_next_masked(state, glossy_ok)
+        u1, st = counter_next_masked(st, glossy_ok)
+        u2, st = counter_next_masked(st, glossy_ok)
         rad = drefl * jnp.sqrt(u1)
         ang = jnp.float32(2.0 * PI) * u2
         xoffs = rad * jnp.cos(ang)
@@ -461,56 +540,43 @@ def whitted5_trace(
         child_dir = jnp.where(glossy_ok[:, None], gdir, rdir)
         refl_ok = shaded & (refl > 0.0)
         child_w = w_eff * refl[:, None] * color
-        state = node(
-            level + 1,
-            jnp.where(refl_ok[:, None], point + child_dir * eps, point),
-            child_dir,
-            jnp.where(refl_ok[:, None], child_w, 0.0),
-            jnp.zeros_like(beer),
-            rindex,
-            refl_ok,
-            state,
-        )
+        refl_o = jnp.where(refl_ok[:, None], point + child_dir * eps, point)
+        refl_w = jnp.where(refl_ok[:, None], child_w, 0.0)
 
-        # Refraction child (raytracer.cpp:337-359).
+        # Refraction children (raytracer.cpp:337-359).
         refr = scene.refr[safe]
         m_rindex = scene.refr_index[safe]
         m_rindex_safe = jnp.where(m_rindex != 0.0, m_rindex, 1.0)
         n_ratio = rindex / m_rindex_safe
         n2 = n_hit * code.astype(jnp.float32)[:, None]
-        cos_i = -_dot(n2, d)
+        cos_i = -_dot(n2, d_b)
         cos_t2 = 1.0 - n_ratio * n_ratio * (1.0 - cos_i * cos_i)
         refr_ok = shaded & (refr > 0.0) & (cos_t2 > 0.0)
         cos_t2_safe = jnp.where(cos_t2 > 0.0, cos_t2, 1.0)
-        tdir = n_ratio[:, None] * d + (
+        tdir = n_ratio[:, None] * d_b + (
             n_ratio * cos_i - jnp.sqrt(cos_t2_safe)
         )[:, None] * n2
         # Child's Beer absorbance: parent material color * 0.15, applied
         # with the child's own hit distance when the child completes.
         child_beer = scene.color[safe] * jnp.float32(0.15)
-        state = node(
-            level + 1,
-            jnp.where(refr_ok[:, None], point + tdir * eps, point),
-            jnp.where(refr_ok[:, None], tdir, d),
-            jnp.where(refr_ok[:, None], w_eff, 0.0),
-            jnp.where(refr_ok[:, None], child_beer, 0.0),
-            jnp.where(refr_ok, m_rindex_safe, rindex),
-            refr_ok,
-            state,
-        )
-        return state
+        refr_o = jnp.where(refr_ok[:, None], point + tdir * eps, point)
+        refr_d = jnp.where(refr_ok[:, None], tdir, d_b)
+        refr_w = jnp.where(refr_ok[:, None], w_eff, 0.0)
+        refr_beer = jnp.where(refr_ok[:, None], child_beer, 0.0)
+        refr_ri = jnp.where(refr_ok, m_rindex_safe, rindex)
 
-    state = node(
-        1,
-        o,
-        d,
-        jnp.ones_like(o),
-        jnp.zeros_like(o),
-        jnp.ones(o.shape[0], jnp.float32),
-        jnp.ones(o.shape[0], bool),
-        state,
-    )
-    return acc_total, state
+        # Next level: [refl children of all nodes; refr children].
+        o_b = jnp.concatenate([refl_o, refr_o])
+        d_b = jnp.concatenate([child_dir, refr_d])
+        weight = jnp.concatenate([refl_w, refr_w])
+        beer = jnp.concatenate([jnp.zeros_like(refl_w), refr_beer])
+        rindex = jnp.concatenate([rindex, refr_ri])
+        valid = jnp.concatenate([refl_ok, refr_ok])
+        heap_ids = [2 * i + 1 for i in heap_ids] + [
+            2 * i + 2 for i in heap_ids
+        ]
+
+    return acc_total, (key_in, ctr_in + jnp.uint32(PASS_DRAW_BUDGET))
 
 
 def camera_frame5(
@@ -575,9 +641,47 @@ def camera_rays5(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "trace_depth", "seed"),
+    jax.jit, static_argnames=("spp", "trace_depth", "height", "width")
 )
+def _whitted5_frame(
+    scene: Whitted5Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    state: MWCState,
+    spp: int,
+    trace_depth: int,
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    # lax.scan over passes: O(1) memory in spp (a python loop lets XLA
+    # overlap every pass's temporaries — 800x600 spp8 OOMs the chip) and
+    # one traced pass regardless of spp.
+    def body(carry, _):
+        st, acc = carry
+        col, st = whitted5_trace(scene, o, d, st, trace_depth)
+        return (st, acc + col), None
+
+    init = (state, jnp.zeros((o.shape[0], 3)))
+    (_, acc), _ = jax.lax.scan(body, init, None, length=spp)
+    return (acc / spp).reshape(height, width, 3)
+
+
+def _init_state5_np(n: int, seed: int) -> MWCState:
+    """Host-side (numpy) twin of core.rng.init_counter_state — bitwise
+    identical uint32s, computed OUTSIDE the jitted frame: fusing the
+    iota+integer-hash state init with the trace graph crashes the TPU
+    compiler's fusion cost model (same failure mode 875c7d5 fixed for the
+    3.2.0x whitted camgen), so the init never enters the frame graph."""
+    with np.errstate(over="ignore"):
+        pid = np.arange(n, dtype=np.uint32)
+        seed_word = np.uint32((seed * 0x85EBCA6B + 0x165667B1) & 0xFFFFFFFF)
+        key = pid * np.uint32(0x9E3779B1) ^ seed_word
+        key = key ^ (key >> np.uint32(16))
+        key = key * np.uint32(0x7FEB352D)
+        key = key ^ (key >> np.uint32(15))
+    return jnp.asarray(key), jnp.zeros((n,), jnp.uint32)
+
+
 def render_whitted5(
     scene: Whitted5Scene,
     width: int = 320,
@@ -587,17 +691,17 @@ def render_whitted5(
     seed: int = 0,
 ) -> jnp.ndarray:
     """Full-frame render; returns [H, W, 3] float32 linear radiance,
-    averaged over ``spp`` stochastic passes (area-light jitter + glossy)."""
-    from se195_raytracer_tpu.core.rng import init_mwc_state
+    averaged over ``spp`` stochastic passes (area-light jitter + glossy).
 
+    Camera rays and RNG state are produced host-side and passed as device
+    inputs (see ``_init_state5_np``); only the trace itself is one jitted
+    dispatch."""
     o, d = camera_rays5(width, height)
-    r = o.shape[0]
-    state = init_mwc_state((r,), seed)
-    acc = jnp.zeros((r, 3))
-    for _ in range(spp):
-        col, state = whitted5_trace(scene, o, d, state, trace_depth)
-        acc = acc + col
-    return (acc / spp).reshape(height, width, 3)
+    state = _init_state5_np(o.shape[0], seed)
+    return _whitted5_frame(
+        scene, o, d, state, spp=spp, trace_depth=trace_depth,
+        height=height, width=width,
+    )
 
 
 # Extra sub-pixel offsets fired on a primitive-change edge, in pixel
@@ -606,19 +710,8 @@ def render_whitted5(
 ADAPTIVE_OFFSETS = ((-0.5, 0.0), (0.0, -0.5), (-0.5, -0.5))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "trace_depth", "seed")
-)
-def _adaptive_primary(scene, width, height, trace_depth, seed):
-    """Phase 1: one primary ray per pixel at the reference's raw ``lpos``
-    + the scan-order primitive-change edge mask (prim != lastprim,
-    raytracer.cpp:499; lastprim carries across scanline ends and starts
-    as NULL, which equals our miss code -1)."""
-    from se195_raytracer_tpu.core.rng import init_mwc_state
-
-    o, d = camera_rays5(width, height, sub=(0.0, 0.0))
-    r = o.shape[0]
-    state = init_mwc_state((r,), seed)
+@functools.partial(jax.jit, static_argnames=("trace_depth",))
+def _adaptive_primary_jit(scene, o, d, state, trace_depth):
     col, state = whitted5_trace(scene, o, d, state, trace_depth)
     idx, _, _ = find_nearest(scene, o, d)
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), idx[:-1]])
@@ -626,20 +719,38 @@ def _adaptive_primary(scene, width, height, trace_depth, seed):
     return col, edge, state
 
 
+def _adaptive_primary(scene, width, height, trace_depth, seed):
+    """Phase 1: one primary ray per pixel at the reference's raw ``lpos``
+    + the scan-order primitive-change edge mask (prim != lastprim,
+    raytracer.cpp:499; lastprim carries across scanline ends and starts
+    as NULL, which equals our miss code -1). Rays + RNG init host-side
+    (see _init_state5_np)."""
+    o, d = camera_rays5(width, height, sub=(0.0, 0.0))
+    state = _init_state5_np(o.shape[0], seed)
+    return _adaptive_primary_jit(scene, o, d, state, trace_depth)
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "trace_depth", "padded")
 )
 def _adaptive_extra(
-    scene, col0, edge, sel, n_edge, state, width, height, trace_depth, padded
+    scene, col0, edge, sel, colrow, live_mask, state,
+    width, height, trace_depth, padded,
 ):
     """Phase 2: trace the 3 extra sub-pixel rays ONLY for the compacted
     edge-pixel index set ``sel`` (padded to the static size ``padded``;
-    rows >= n_edge are inert), then blend: edge pixels average the 4
-    samples, interior pixels keep the single primary sample
-    (the 64-vs-256 scale of raytracer.cpp:506-520, pre-tonemap)."""
+    ``live_mask`` marks the real rows — the pad tail is inert), then
+    blend: edge pixels average the 4 samples, interior pixels keep the
+    single primary sample (the 64-vs-256 scale of raytracer.cpp:506-520,
+    pre-tonemap).
+
+    ``sel``, ``colrow`` (= [padded, 2] float (col, row) of each sel
+    pixel) and ``live_mask`` are built HOST-side by the caller: the
+    iota/div/mod index math fused into the trace graph is what crashes
+    the TPU compiler (same failure mode as the camgen split, r3)."""
     origin, p1, dx, dy = camera_frame5(width, height)
-    colx = (sel % width).astype(jnp.float32)
-    rowy = (sel // width).astype(jnp.float32)
+    colx = colrow[:, 0]
+    rowy = colrow[:, 1]
     st = jax.tree.map(lambda a: a[sel], state)
     extra = jnp.zeros((padded, 3), jnp.float32)
     o = jnp.broadcast_to(jnp.asarray(origin), (padded, 3))
@@ -653,8 +764,7 @@ def _adaptive_extra(
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         c, st = whitted5_trace(scene, o, dirs, st, trace_depth)
         extra = extra + c
-    live = (jnp.arange(padded) < n_edge)[:, None]
-    summed = col0.at[sel].add(jnp.where(live, extra, 0.0))
+    summed = col0.at[sel].add(jnp.where(live_mask[:, None], extra, 0.0))
     return jnp.where(edge[:, None], summed * 0.25, col0)
 
 
@@ -689,12 +799,14 @@ def render_whitted5_adaptive(
     if n_edge == 0:
         return col0.reshape(height, width, 3), 0.0
     padded = max(min_bucket, 1 << (n_edge - 1).bit_length())
-    sel = jnp.asarray(
-        np.concatenate([sel_np, np.zeros(padded - n_edge, np.int64)]),
-        jnp.int32,
+    sel_pad = np.concatenate([sel_np, np.zeros(padded - n_edge, np.int64)])
+    sel = jnp.asarray(sel_pad, jnp.int32)
+    colrow = jnp.asarray(
+        np.stack([sel_pad % width, sel_pad // width], axis=-1), jnp.float32
     )
+    live_mask = jnp.asarray(np.arange(padded) < n_edge)
     img = _adaptive_extra(
-        scene, col0, edge, sel, jnp.int32(n_edge), state,
+        scene, col0, edge, sel, colrow, live_mask, state,
         width, height, trace_depth, padded,
     )
     return img.reshape(height, width, 3), n_edge / edge_np.size

@@ -139,16 +139,26 @@ def test_glossy_varies_with_rng_but_perfect_does_not():
         b.sphere((5.0, 5.0, 0.0), 0.1, is_light=True, color=(1, 1, 1))
         return b.build()
 
-    o = jnp.array([[0.0, 2.0, -4.0]])
-    d = jnp.array([[0.0, -0.5, 1.0]])
-    d = d / jnp.linalg.norm(d)
+    # Many identical rays with per-ray RNG keys: the glossy lobe straddles
+    # the red sphere's silhouette, so stochastic disc samples must spread
+    # the results across rays; a perfect mirror (drefl=0) draws nothing
+    # and every ray must agree exactly.
+    n = 64
+    o = jnp.tile(jnp.array([[0.0, 2.0, -4.0]]), (n, 1))
+    d = jnp.array([0.0, -0.5, 1.0])
+    d = jnp.tile((d / jnp.linalg.norm(d))[None], (n, 1))
+    from se195_raytracer_tpu.core.rng import init_counter_state
+
     glossy = make(0.5)
-    c1, _ = whitted5_trace(glossy, o, d, init_mwc_state((1,), 1))
-    c2, _ = whitted5_trace(glossy, o, d, init_mwc_state((1,), 2))
-    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+    c1, _ = whitted5_trace(glossy, o, d, init_counter_state((n,), 1))
+    assert not (np.asarray(c1) == np.asarray(c1)[0]).all()
     mirror = make(0.0)
-    m1, _ = whitted5_trace(mirror, o, d, init_mwc_state((1,), 1))
-    m2, _ = whitted5_trace(mirror, o, d, init_mwc_state((1,), 2))
+    m1, _ = whitted5_trace(mirror, o, d, init_counter_state((n,), 1))
+    assert (np.asarray(m1) == np.asarray(m1)[0]).all()
+    # and a different base seed changes the glossy image but not the mirror
+    c2, _ = whitted5_trace(glossy, o, d, init_counter_state((n,), 2))
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+    m2, _ = whitted5_trace(mirror, o, d, init_counter_state((n,), 2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
 
@@ -200,11 +210,14 @@ def test_adaptive_supersampling_matches_bruteforce():
     # every pixel vs only edge pixels must agree bit-for-bit.
     r = w * h
     padded = 4096
-    sel_all = jnp.asarray(
-        np.concatenate([np.arange(r), np.zeros(padded - r)]), jnp.int32
+    sel_pad = np.concatenate([np.arange(r), np.zeros(padded - r)])
+    sel_all = jnp.asarray(sel_pad, jnp.int32)
+    colrow = jnp.asarray(
+        np.stack([sel_pad % w, sel_pad // w], axis=-1), jnp.float32
     )
+    live = jnp.asarray(np.arange(padded) < r)
     img_all = _adaptive_extra(
-        scene, col0, jnp.ones((r,), bool), sel_all, jnp.int32(r), state,
+        scene, col0, jnp.ones((r,), bool), sel_all, colrow, live, state,
         w, h, 4, padded,
     )
     want = np.where(

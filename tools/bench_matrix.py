@@ -31,6 +31,19 @@ def timed(fn):
     return best
 
 
+def timed_row(fn, row_base):
+    """timed() with the failure recorded in the row instead of killing
+    the whole matrix (a server-side TPU compile crash surfaces as a
+    RuntimeError on the client; later rows must still run)."""
+    try:
+        elapsed = timed(fn)
+    except Exception as e:  # noqa: BLE001 — record and continue
+        row = dict(row_base)
+        row["error"] = str(e).splitlines()[0][:160]
+        return row, None
+    return None, elapsed
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="quarter-size configs")
@@ -56,6 +69,11 @@ def main():
         ("caustic3_640x480_pt", "caustic3", 640 // s, 480 // s, 4, "pt", True),
         # 783 spheres: the fori_loop Pallas kernel (scene in SMEM).
         ("complex783_256x256_pt", "complex", 256 // s, 256 // s, 2, "pt", True),
+        ("complex783_512x512_8spp_pt", "complex", 512 // s, 512 // s, 8, "pt", True),
+        # BASELINE.json ladder top: complex scene 512x512 64 spp — the
+        # spp batch amortizes the fixed ~0.1 s tunnel readback, so this
+        # row reflects the sustained progressive rate.
+        ("complex783_512x512_64spp_pt", "complex", 512 // s, 512 // s, 64, "pt", True),
     ]
     for name, scene_name, w, h, spp, integ, pallas in smallpt_cfgs:
         spec = get_scene(scene_name)
@@ -70,18 +88,15 @@ def main():
             state_box["st"] = st
             return img
 
-        elapsed = timed(run)
         rays = w * h * spp
-        results.append(
-            {
-                "config": name,
-                "n_spheres": scene.num_spheres,
-                "rays": rays,
-                "elapsed_s": round(elapsed, 5),
-                "rays_per_sec": round(rays / elapsed, 1),
-                "pallas": pallas,
-            }
-        )
+        base = {"config": name, "n_spheres": scene.num_spheres,
+                "rays": rays, "pallas": pallas}
+        err_row, elapsed = timed_row(run, base)
+        results.append(err_row if err_row else {
+            **base,
+            "elapsed_s": round(elapsed, 5),
+            "rays_per_sec": round(rays / elapsed, 1),
+        })
         print(json.dumps(results[-1]), flush=True)
 
     from se195_raytracer_tpu.kernels.whitted_kernel import render_whitted_pallas
@@ -98,18 +113,16 @@ def main():
                 def run(scene=scene, w=w, h=h):
                     return render_whitted_scene(scene, width=w, height=h)
 
-            elapsed = timed(run)
             rays = w * h * 9
-            results.append(
-                {
-                    "config": f"whitted_{name}_{w}x{h}_3x3",
-                    "n_prims": scene.num_prims,
-                    "rays": rays,
-                    "elapsed_s": round(elapsed, 5),
-                    "rays_per_sec": round(rays / elapsed, 1),
-                    "pallas": pallas,
-                }
-            )
+            base = {"config": f"whitted_{name}_{w}x{h}_3x3",
+                    "n_prims": scene.num_prims, "rays": rays,
+                    "pallas": pallas}
+            err_row, elapsed = timed_row(run, base)
+            results.append(err_row if err_row else {
+                **base,
+                "elapsed_s": round(elapsed, 5),
+                "rays_per_sec": round(rays / elapsed, 1),
+            })
             print(json.dumps(results[-1]), flush=True)
 
     # raytracer5 family (whitted5): brute 1-ray and adaptive 1-vs-4-ray
@@ -123,11 +136,16 @@ def main():
 
     scene5 = WHITTED5_SCENES["room5"]()
     for w, h in [(320 // s, 240 // s), (800 // s, 600 // s)]:
-        for mode in ("brute", "adaptive"):
-            if mode == "brute":
-                def run(scene5=scene5, w=w, h=h):
-                    return render_whitted5(scene5, width=w, height=h, spp=1)
-                rays = w * h
+        # brute_spp8: the progressive form (8 stochastic passes in one
+        # dispatch) — amortizes the fixed tunnel readback the same way
+        # the PT rows do; rays counts all primary samples (w*h*spp).
+        for mode in ("brute", "brute_spp8", "adaptive"):
+            if mode.startswith("brute"):
+                spp5 = 8 if mode == "brute_spp8" else 1
+
+                def run(scene5=scene5, w=w, h=h, spp5=spp5):
+                    return render_whitted5(scene5, width=w, height=h, spp=spp5)
+                rays = w * h * spp5
             else:
                 frac_box = {}
 
@@ -139,17 +157,20 @@ def main():
                     return img
 
                 rays = w * h  # 1-4 rays/pixel; count pixels like the ref
-            elapsed = timed(run)
-            row = {
-                "config": f"whitted5_room5_{w}x{h}_{mode}",
-                "n_prims": scene5.num_prims,
-                "rays": rays,
-                "elapsed_s": round(elapsed, 5),
-                "rays_per_sec": round(rays / elapsed, 1),
-                "pallas": False,
-            }
-            if mode == "adaptive":
-                row["edge_fraction"] = round(float(frac_box["f"]), 4)
+            base = {"config": f"whitted5_room5_{w}x{h}_{mode}",
+                    "n_prims": scene5.num_prims, "rays": rays,
+                    "pallas": False}
+            err_row, elapsed = timed_row(run, base)
+            if err_row:
+                row = err_row
+            else:
+                row = {
+                    **base,
+                    "elapsed_s": round(elapsed, 5),
+                    "rays_per_sec": round(rays / elapsed, 1),
+                }
+                if mode == "adaptive":
+                    row["edge_fraction"] = round(float(frac_box["f"]), 4)
             results.append(row)
             print(json.dumps(results[-1]), flush=True)
 
