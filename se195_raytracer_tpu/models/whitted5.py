@@ -747,7 +747,21 @@ def _adaptive_extra(
     ``sel``, ``colrow`` (= [padded, 2] float (col, row) of each sel
     pixel) and ``live_mask`` are built HOST-side by the caller: the
     iota/div/mod index math fused into the trace graph is what crashes
-    the TPU compiler (same failure mode as the camgen split, r3)."""
+    the TPU compiler (same failure mode as the camgen split, r3). The
+    edge-scatter blend runs as its own dispatch (``_adaptive_blend``)
+    for the same reason — keep the trace graph free of scatter ops."""
+    extra = _adaptive_trace_extra(
+        scene, sel, colrow, state, width, height, trace_depth, padded
+    )
+    return _adaptive_blend(col0, edge, sel, live_mask, extra)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "trace_depth", "padded")
+)
+def _adaptive_trace_extra(
+    scene, sel, colrow, state, width, height, trace_depth, padded
+):
     origin, p1, dx, dy = camera_frame5(width, height)
     colx = colrow[:, 0]
     rowy = colrow[:, 1]
@@ -764,6 +778,11 @@ def _adaptive_extra(
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         c, st = whitted5_trace(scene, o, dirs, st, trace_depth)
         extra = extra + c
+    return extra
+
+
+@jax.jit
+def _adaptive_blend(col0, edge, sel, live_mask, extra):
     summed = col0.at[sel].add(jnp.where(live_mask[:, None], extra, 0.0))
     return jnp.where(edge[:, None], summed * 0.25, col0)
 

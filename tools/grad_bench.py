@@ -124,7 +124,24 @@ def main():
         color=scene_true.color.at[0].set(jnp.array([0.3, 0.6, 0.3])),
     )
 
-    optimizer = optax.adam(args.lr)
+    # zero_nans + clipping: at full frame size a handful of silhouette
+    # pixels produce non-finite/huge VJP terms (SURVEY.md §7 hard part 2
+    # — visibility step functions); without the guards one bad step
+    # poisons the Adam state and the light-center diverges to NaN.
+    # Per-group rates: sphere centers live in scene units (tens), albedo
+    # in [0,1] — one shared lr either stalls the center or blows up the
+    # color, so centers train at 10x the base rate.
+    def group_opt(lr):
+        return optax.chain(
+            optax.zero_nans(),
+            optax.clip_by_global_norm(10.0),
+            optax.adam(lr),
+        )
+
+    optimizer = optax.multi_transform(
+        {"geom": group_opt(args.lr * 10.0), "mat": group_opt(args.lr)},
+        {"center": "geom", "color": "mat"},
+    )
     pf = lambda n: n in ("center", "color")
     trainable0 = {"center": scene0.center, "color": scene0.color}
     st = OptState(scene0, cam, optimizer.init(trainable0), jnp.float32(0.0))
