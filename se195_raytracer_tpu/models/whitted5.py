@@ -128,18 +128,27 @@ def _prim_candidates(scene: Whitted5Scene, o: jnp.ndarray, d: jnp.ndarray):
         )
 
     if pla.size:
-        # Planes (one-sided). precision=HIGHEST: XLA-TPU otherwise runs
-        # these on the MXU in bf16 and the rounding eats epsilon-scale
-        # offsets (self-shadowing) — geometry contractions must be f32.
-        hi = jax.lax.Precision.HIGHEST
-        nrm = scene.normal[pla]
-        pd = jnp.einsum("nk,rk->rn", nrm, d, precision=hi)
+        # Planes (one-sided). The k=3 contraction is written as explicit
+        # elementwise mul/adds, NOT einsum: einsum lowers to a matmul
+        # whose kernel (and f32 rounding) depends on the batch shape R,
+        # which breaks bitwise shard-invariance (render_whitted5_sharded
+        # slices R per device), and on TPU could land on the MXU in bf16
+        # where the rounding eats epsilon-scale offsets. Elementwise ops
+        # are IEEE-deterministic at every shape on every backend.
+        nrm = scene.normal[pla]  # [Np, 3]
+        pd = (
+            nrm[None, :, 0] * d[:, None, 0]
+            + nrm[None, :, 1] * d[:, None, 1]
+            + nrm[None, :, 2] * d[:, None, 2]
+        )
         p_ok = pd < 0.0
         pd_safe = jnp.where(pd != 0.0, pd, 1.0)
-        p_dist = -(
-            jnp.einsum("nk,rk->rn", nrm, o, precision=hi)
-            + scene.depth[pla][None, :]
-        ) / pd_safe
+        no = (
+            nrm[None, :, 0] * o[:, None, 0]
+            + nrm[None, :, 1] * o[:, None, 1]
+            + nrm[None, :, 2] * o[:, None, 2]
+        )
+        p_dist = -(no + scene.depth[pla][None, :]) / pd_safe
         dists.append(p_dist)
         valids.append(p_ok)
         codes.append(jnp.full(p_dist.shape, HIT, jnp.int32))
@@ -472,7 +481,13 @@ def whitted5_trace(
     stream by mixing its heap index into the key (``_node_key``), and the
     returned state advances the counter by ``PASS_DRAW_BUDGET`` so
     successive passes stay decorrelated. (The reference uses MT19937
-    here — twister.cpp — which SURVEY §2d marks "no parity needed".)
+    here — twister.cpp — carried bit-exactly in core/mt19937.py for
+    capability completeness; the counter generator is what shards and
+    vectorizes, so the integrator draws from it.)
+
+    The TPU fast path is kernels/whitted5_kernel.whitted5_trace_pallas —
+    the same levelwise tree with each level's node work fused into a
+    Pallas kernel, stream-identical draws, texture gathers left in XLA.
 
     Returns (accumulated color [R, 3], advanced state)."""
     eps = jnp.float32(EPSILON5)
@@ -730,11 +745,8 @@ def _adaptive_primary(scene, width, height, trace_depth, seed):
     return _adaptive_primary_jit(scene, o, d, state, trace_depth)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "trace_depth", "padded")
-)
 def _adaptive_extra(
-    scene, col0, edge, sel, colrow, live_mask, state,
+    scene, col0, edge, sel, colrow, live_mask, state_sel,
     width, height, trace_depth, padded,
 ):
     """Phase 2: trace the 3 extra sub-pixel rays ONLY for the compacted
@@ -745,13 +757,17 @@ def _adaptive_extra(
     pre-tonemap).
 
     ``sel``, ``colrow`` (= [padded, 2] float (col, row) of each sel
-    pixel) and ``live_mask`` are built HOST-side by the caller: the
-    iota/div/mod index math fused into the trace graph is what crashes
-    the TPU compiler (same failure mode as the camgen split, r3). The
-    edge-scatter blend runs as its own dispatch (``_adaptive_blend``)
-    for the same reason — keep the trace graph free of scatter ops."""
+    pixel), ``live_mask`` AND the gathered RNG state ``state_sel`` are
+    built HOST-side by the caller: the iota/div/mod index math and the
+    per-sel gather fused into the trace graph are what crash the TPU
+    compiler (same failure mode as the camgen split, r3). This wrapper
+    is deliberately a PLAIN Python composition — jitting it would inline
+    both inner jits into one compiled module and the dispatch split
+    would be inert (r3's committed SIGILL rows); as two separate jits
+    the trace graph stays free of scatter ops and the scatter blend
+    compiles as its own small module."""
     extra = _adaptive_trace_extra(
-        scene, sel, colrow, state, width, height, trace_depth, padded
+        scene, colrow, state_sel, width, height, trace_depth, padded
     )
     return _adaptive_blend(col0, edge, sel, live_mask, extra)
 
@@ -760,12 +776,12 @@ def _adaptive_extra(
     jax.jit, static_argnames=("width", "height", "trace_depth", "padded")
 )
 def _adaptive_trace_extra(
-    scene, sel, colrow, state, width, height, trace_depth, padded
+    scene, colrow, state_sel, width, height, trace_depth, padded
 ):
     origin, p1, dx, dy = camera_frame5(width, height)
     colx = colrow[:, 0]
     rowy = colrow[:, 1]
-    st = jax.tree.map(lambda a: a[sel], state)
+    st = state_sel
     extra = jnp.zeros((padded, 3), jnp.float32)
     o = jnp.broadcast_to(jnp.asarray(origin), (padded, 3))
     for fx, fy in ADAPTIVE_OFFSETS:
@@ -824,8 +840,12 @@ def render_whitted5_adaptive(
         np.stack([sel_pad % width, sel_pad // width], axis=-1), jnp.float32
     )
     live_mask = jnp.asarray(np.arange(padded) < n_edge)
+    # Host-side gather of the per-sel RNG state (see _adaptive_extra).
+    state_sel = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a)[sel_pad]), state
+    )
     img = _adaptive_extra(
-        scene, col0, edge, sel, colrow, live_mask, state,
+        scene, col0, edge, sel, colrow, live_mask, state_sel,
         width, height, trace_depth, padded,
     )
     return img.reshape(height, width, 3), n_edge / edge_np.size

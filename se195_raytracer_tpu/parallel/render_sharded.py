@@ -276,18 +276,25 @@ def render_whitted5_sharded(
 ):
     """raytracer5-family frame with the ray axis sharded over ``mesh``.
 
-    The per-ray MWC seed pairs are initialized over the FULL frame
-    (absolute ray id) and then sharded, so every device consumes exactly
-    the seed stream the single-device render would — output is bitwise
-    identical regardless of mesh size (multi-host determinism, SURVEY §7
-    hard part 6). Returns [H, W, 3] float32 linear radiance.
+    The per-ray counter-RNG state — ``whitted5_trace``'s contract is a
+    (key, draw-counter) pair, NOT MWC seed words — is initialized over
+    the FULL frame with keys derived from the absolute ray id
+    (``_init_state5_np``, the same host-side init ``render_whitted5``
+    uses) and then sharded, so every device consumes exactly the streams
+    the single-device render would (multi-host determinism, SURVEY §7
+    hard part 6). Output agrees with ``render_whitted5`` to within 1 ulp
+    (a handful of pixels differ by <=1e-6 from XLA fusing the shard_map
+    body differently than the plain jit — the smallpt shard paths are
+    bitwise only because both sides execute the identical Pallas
+    program; tests/test_sharding.py::test_whitted5_sharded_invariant
+    pins the bound). Returns [H, W, 3] float32 linear radiance.
     """
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from se195_raytracer_tpu.core.rng import init_mwc_state
     from se195_raytracer_tpu.models.whitted5 import (
         TRACEDEPTH5,
+        _init_state5_np,
         camera_rays5,
         whitted5_trace,
     )
@@ -300,38 +307,50 @@ def render_whitted5_sharded(
     n_dev = int(mesh.devices.size)
     r = width * height
     pad = (-r) % n_dev
-    s0, s1 = init_mwc_state((r,), seed)
+    s0, s1 = _init_state5_np(r, seed)
 
     try:
         from jax import shard_map
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
-    def shard_body(o, d, s0, s1):
-        acc = jnp.zeros((o.shape[0], 3))
-        state = (s0, s1)
-        for _ in range(spp):
-            col, state = whitted5_trace(scene, o, d, state, trace_depth)
-            acc = acc + col
+    def shard_body(sc, o, d, s0, s1):
+        # Structurally IDENTICAL to models/whitted5._whitted5_frame (same
+        # lax.scan accumulate, same final division): matching the program
+        # structure keeps XLA's fusion/FMA rounding decisions identical,
+        # which bitwise shard-invariance requires — a python-unrolled spp
+        # loop here produced ~1e-4-level drift vs the single-device frame.
+        def body(carry, _):
+            st, acc = carry
+            col, st = whitted5_trace(sc, o, d, st, trace_depth)
+            return (st, acc + col), None
+
+        init = ((s0, s1), jnp.zeros((o.shape[0], 3)))
+        (_, acc), _ = jax.lax.scan(body, init, None, length=spp)
         return acc / spp
 
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+
     @jax.jit
-    def frame(s0, s1):
-        o, d = camera_rays5(width, height)
+    def frame(sc, o, d, s0, s1):
+        # Scene, o and d are jit ARGUMENTS, not closed-over constants:
+        # baking them into the graph lets XLA constant-fold/fuse the
+        # trace differently from the single-device _whitted5_frame
+        # (which takes them as args), breaking bitwise shard-invariance.
         if pad:
             # Inert padding rays: d=0 yields misses; lanes sliced off below.
             o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
             d = jnp.concatenate([d, jnp.zeros((pad, 3), jnp.float32)])
-            s0p = jnp.concatenate([s0, jnp.full((pad,), 2, s0.dtype)])
-            s1p = jnp.concatenate([s1, jnp.full((pad,), 2, s1.dtype)])
-        else:
-            s0p, s1p = s0, s1
+            s0 = jnp.concatenate([s0, jnp.full((pad,), 2, s0.dtype)])
+            s1 = jnp.concatenate([s1, jnp.full((pad,), 2, s1.dtype)])
         acc = shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+            in_specs=(scene_specs, P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                      P(RAY_AXIS)),
             out_specs=P(RAY_AXIS),
             check_vma=False,
-        )(o, d, s0p, s1p)
+        )(sc, o, d, s0, s1)
         return acc[:r].reshape(height, width, 3)
 
-    return frame(s0, s1)
+    o, d = camera_rays5(width, height)
+    return frame(scene, o, d, s0, s1)

@@ -141,3 +141,30 @@ def test_render_sharded_api(mesh):
     # resume keeps working (st is donated into the resumed call)
     img2, st2 = render_sharded(scene, cam, cfg, mesh=mesh, state=st)
     assert int(st2.sample) == 4
+
+
+def test_whitted5_sharded_invariant(mesh):
+    """render_whitted5_sharded must consume exactly the counter-RNG
+    streams the single-device render_whitted5 does (state is a
+    (key, counter) pair keyed by absolute ray id — NOT MWC seed words).
+    The frames agree to 1 ulp: streams and estimator are identical, but
+    XLA may fuse the shard_map body differently than the plain jit, so
+    a handful of pixels drift by <=1e-6 (an RNG/keying bug shows up as
+    ~1e-1-level disagreement across most of the frame, far beyond this
+    gate)."""
+    from se195_raytracer_tpu.models.whitted5 import render_whitted5
+    from se195_raytracer_tpu.parallel.render_sharded import (
+        render_whitted5_sharded,
+    )
+    from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
+
+    scene = room5_scene()
+    w, h, spp, seed = 40, 30, 2, 5
+    single = np.asarray(render_whitted5(scene, width=w, height=h, spp=spp,
+                                        seed=seed))
+    sharded = np.asarray(render_whitted5_sharded(scene, width=w, height=h,
+                                                 spp=spp, seed=seed,
+                                                 mesh=mesh))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-6)
+    exact = float((sharded == single).mean())
+    assert exact > 0.99, f"only {exact:.3f} of elements bit-equal"

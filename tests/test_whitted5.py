@@ -2,6 +2,7 @@
 hand-computed values, reference-quirk replication, area-light shadows,
 texture mapping, and image-level sanity."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -216,8 +217,11 @@ def test_adaptive_supersampling_matches_bruteforce():
         np.stack([sel_pad % w, sel_pad // w], axis=-1), jnp.float32
     )
     live = jnp.asarray(np.arange(padded) < r)
+    state_sel = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a)[sel_pad.astype(np.int64)]), state
+    )
     img_all = _adaptive_extra(
-        scene, col0, jnp.ones((r,), bool), sel_all, colrow, live, state,
+        scene, col0, jnp.ones((r,), bool), sel_all, colrow, live, state_sel,
         w, h, 4, padded,
     )
     want = np.where(
