@@ -5,22 +5,70 @@ Metric (BASELINE.json): rays/sec/chip at Cornell 512x512 8 spp, where a
 samples/sec caption metric (smallptGPU.cpp:777-781: samples*W*H/elapsed).
 Bounce rays are not counted — same convention as the reference.
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
-compares against the framework's own CPU-backend throughput for the same
-workload measured once on this host (the smallptCPU-vs-smallptGPU
-comparison reborn): CPU_BASELINE_RAYS_PER_SEC below.
+Measurement methodology (r4 — replaces the r3 slope-in-the-noise):
+* ``value`` is the e2e rate of the literal 8-spp workload including the
+  fixed per-dispatch tunnel sync, median of ``REPS`` runs (spread
+  reported). This is the number a user of the 8-spp config observes.
+* ``value_marginal`` is the sustained progressive rate: the slope
+  between an 8-spp and a (8+512)-spp run, so the numerator is SECONDS
+  of extra device work, not milliseconds — the fixed ~0.1-0.2 s sync
+  cannot dominate it. Median of REPS slopes; per-rep spread reported.
+* A VPU flop-budget ceiling is computed from the scene (ops/ray x
+  assumed 4e12 f32 op/s VPU peak) and the marginal rate is asserted
+  physically possible against it. The r3 "2.29 Grays/s" violated this
+  by ~50x; the check makes that class of artifact impossible to commit.
+* ``vs_baseline`` divides by the framework's own CPU-backend throughput
+  on the same scene, measured AT RUNTIME in a JAX_PLATFORMS=cpu
+  subprocess (the smallptCPU-vs-smallptGPU comparison reborn,
+  README.txt:36-44) — not a pasted constant. Falls back to the last
+  measured constant only if the subprocess fails.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+REPS = 5
+SPP_LO, SPP_HI = 8, 520  # slope numerator is ~seconds of device work
+VPU_F32_OPS = 4.0e12  # assumed v5e VPU f32 peak (8x128 lanes, ~4 ops/cyc)
+# Fallback only (see module docstring): JAX-CPU Cornell rays/s measured
+# 2026-08-21 on this 2-core host via tools/measure_cpu_baseline.py.
+CPU_BASELINE_FALLBACK = 8.50e5
 
-# JAX CPU backend, Cornell 128x128 8spp scaled estimate, measured on this
-# host (see tools/measure_cpu_baseline.py). Stands in for the reference's
-# CPU path (smallptCPU) which cannot run here.
-CPU_BASELINE_RAYS_PER_SEC = 8.50e5
+
+def ops_per_ray(n_spheres: int, n_lights: int, max_depth: int) -> float:
+    """Conservative (low) estimate of f32 VPU ops per primary ray for the
+    fused PT kernel: per bounce, a nearest sweep (~15 ops/sphere), one
+    NEE shadow sweep per light (~12 ops/sphere + ~45 setup), and ~70 ops
+    of shading/RNG/bookkeeping; plus ~25 ops of camera-gen. Counting low
+    makes the derived rays/s ceiling HIGH, so the physicality assert
+    stays conservative."""
+    per_bounce = 15.0 * n_spheres + n_lights * (12.0 * n_spheres + 45.0) + 70.0
+    return 25.0 + max_depth * per_bounce
+
+
+def measure_cpu_baseline_rays_per_sec() -> tuple[float, str]:
+    """Run tools/measure_cpu_baseline.py in a CPU-backend subprocess and
+    parse its JSON line. Returns (rays_per_sec, source)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join("tools", "measure_cpu_baseline.py"),
+             "--json"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return float(json.loads(line)["rays_per_sec"]), "measured"
+    except Exception:
+        pass
+    return CPU_BASELINE_FALLBACK, "fallback-constant"
 
 
 def main():
@@ -35,49 +83,72 @@ def main():
     spec = get_scene("cornell")
     scene = spec.to_scene()
     camera = spec.to_camera()
+    w = h = 512
 
-    # Synchronization: ``block_until_ready`` does not reliably block on the
-    # axon (tunneled-TPU) platform, so every timed region ends with a full
-    # host fetch (np.asarray). That fetch costs a fixed ~0.1 s of tunnel
-    # readback regardless of work, so the metric is the MARGINAL per-pass
-    # rate — the slope between a small and a large sample count. This is
-    # the same amortization the reference performs: its adaptive batching
-    # re-launches the kernel many times per readback
-    # (smallptGPU.cpp:739-755) and its samples/sec caption reflects the
-    # batched asymptote.
-    def timed(spp: int) -> float:
-        cfg = RenderConfig(width=512, height=512, spp=spp, seed=0, use_pallas=True)
+    # ``block_until_ready`` does not reliably block on the axon
+    # (tunneled-TPU) platform, so every timed region ends with a full
+    # host fetch (np.asarray) — its fixed cost is why the marginal rate
+    # is measured from a LARGE spp delta (see module docstring).
+    def timed(spp: int, reps: int = REPS) -> list[float]:
+        cfg = RenderConfig(width=w, height=h, spp=spp, seed=0, use_pallas=True)
         img, state = render(scene, camera, cfg)
         a = np.asarray(img)  # warm-up / compile, full sync
         assert np.isfinite(a).all(), "non-finite radiance"
-        best = float("inf")
-        for _ in range(3):
+        times = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             img, state = render(scene, camera, cfg, state=state)
             np.asarray(img)
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return times
 
-    spp_lo, spp_hi = 8, 136
-    t_lo = timed(spp_lo)
-    t_hi = timed(spp_hi)
-    per_pass = max((t_hi - t_lo) / (spp_hi - spp_lo), 1e-9)
-    rays_per_sec = 512 * 512 / per_pass
-    # End-to-end rate at the literal 8-spp workload, INCLUDING the fixed
-    # ~0.1 s tunnel sync (the number a one-shot 8-spp render observes;
-    # the marginal rate is what sustained progressive rendering observes).
-    e2e_rays_per_sec = 512 * 512 * spp_lo / t_lo
+    t_lo = timed(SPP_LO)
+    t_hi = timed(SPP_HI)
+    lo_med = float(np.median(t_lo))
+    hi_med = float(np.median(t_hi))
+    # Per-rep slopes (paired in measurement order) for the spread.
+    slopes = [
+        w * h * (SPP_HI - SPP_LO) / max(b - a, 1e-9)
+        for a, b in zip(sorted(t_lo), sorted(t_hi))
+    ]
+    marginal = w * h * (SPP_HI - SPP_LO) / max(hi_med - lo_med, 1e-9)
+    e2e = w * h * SPP_LO / lo_med
+
+    # Physicality ceiling: the Pallas PT path is VPU-bound f32 vector
+    # work; rays/s cannot exceed VPU peak / ops-per-ray.
+    opr = ops_per_ray(scene.num_spheres, len(scene.light_indices),
+                      RenderConfig().max_depth)
+    ceiling = VPU_F32_OPS / opr
+    assert marginal < ceiling, (
+        f"marginal {marginal:.3e} rays/s exceeds the VPU flop-budget "
+        f"ceiling {ceiling:.3e} (ops/ray~{opr:.0f}) — measurement artifact"
+    )
+
+    cpu_rays, cpu_src = measure_cpu_baseline_rays_per_sec()
 
     print(
         json.dumps(
             {
                 "metric": "rays/sec/chip Cornell 512x512 8spp",
-                "value": round(rays_per_sec, 1),
+                "value": round(e2e, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / CPU_BASELINE_RAYS_PER_SEC, 3),
-                "value_marginal": round(rays_per_sec, 1),
-                "value_e2e": round(e2e_rays_per_sec, 1),
-                "e2e_elapsed_s": round(t_lo, 4),
+                "vs_baseline": round(e2e / cpu_rays, 3),
+                "value_e2e": round(e2e, 1),
+                "e2e_spread_s": [round(min(t_lo), 4), round(max(t_lo), 4)],
+                "value_marginal": round(marginal, 1),
+                "marginal_spread": [
+                    round(min(slopes), 1), round(max(slopes), 1)
+                ],
+                "marginal_vs_baseline": round(marginal / cpu_rays, 3),
+                "elapsed_lo_s": round(lo_med, 4),
+                "elapsed_hi_s": round(hi_med, 4),
+                "spp_delta": SPP_HI - SPP_LO,
+                "vpu_ceiling_rays_per_sec": round(ceiling, 1),
+                "vpu_utilization_pct_of_ceiling": round(
+                    100.0 * marginal / ceiling, 1
+                ),
+                "cpu_baseline_rays_per_sec": round(cpu_rays, 1),
+                "cpu_baseline_source": cpu_src,
             }
         )
     )

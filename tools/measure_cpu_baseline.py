@@ -1,10 +1,16 @@
-"""Measure the CPU-backend throughput constant used by bench.py.
+"""Measure the CPU-backend throughput baseline used by bench.py.
 
 Runs the same Cornell workload on the JAX CPU backend (128x128 to keep it
 quick; throughput is per-ray so it transfers to 512x512 within noise) and
-prints rays/sec. Update bench.py:CPU_BASELINE_RAYS_PER_SEC with the result.
+prints rays/sec. bench.py invokes this in a JAX_PLATFORMS=cpu subprocess
+with ``--json`` at every run, so ``vs_baseline`` always divides by a
+number measured on the machine the benchmark ran on — never by a pasted
+constant (the smallptCPU side of the reference's GPU-vs-CPU comparison,
+smallptgpu-v1.6/README.txt:36-44, measured live).
 """
 
+import json
+import sys
 import time
 
 import jax
@@ -30,7 +36,14 @@ def main():
         img.block_until_ready()
         best = min(best, time.perf_counter() - t0)
     rays = cfg.width * cfg.height * cfg.spp
-    print(f"CPU baseline: {rays / best:.3e} rays/sec ({best * 1e3:.1f} ms)")
+    if "--json" in sys.argv:
+        print(json.dumps({
+            "rays_per_sec": round(rays / best, 1),
+            "elapsed_s": round(best, 4),
+            "workload": "cornell 128x128 8spp, XLA-CPU backend",
+        }))
+    else:
+        print(f"CPU baseline: {rays / best:.3e} rays/sec ({best * 1e3:.1f} ms)")
 
 
 if __name__ == "__main__":
