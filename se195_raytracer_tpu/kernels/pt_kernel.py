@@ -126,6 +126,34 @@ def _norm3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def block_bounds(scene_tab: jnp.ndarray) -> jnp.ndarray:
+    """[4, nb] (cx, cy, cz, rad) bounding spheres of the contiguous
+    SPHERE_BLOCK-sized index ranges of the scene table — the TPU-native
+    stand-in for the reference's regular-grid culling (raytracer5/trunk/
+    scene.cpp:544-588): the fractal generator emits spheres in DFS order
+    (scene_build_complex.pl:19-60), so contiguous ranges are spatially
+    tight subtrees and one bound test amortizes a whole block's sweep.
+
+    Bounds are conservatively inflated (relative + absolute margin) so
+    f32 rounding in the kernel's det test can never reject a block that
+    contains a true hit — the culled sweep stays BIT-IDENTICAL to the
+    full sweep (index order is untouched; a skipped block updates
+    nothing a run block wouldn't)."""
+    n = scene_tab.shape[1]
+    nb = n // SPHERE_BLOCK
+    m = nb * SPHERE_BLOCK
+    c3 = scene_tab[0:3, :m].reshape(3, nb, SPHERE_BLOCK)
+    rad = scene_tab[3, :m].reshape(nb, SPHERE_BLOCK)
+    lo = (c3 - rad[None]).min(axis=-1)
+    hi = (c3 + rad[None]).max(axis=-1)
+    bc = 0.5 * (lo + hi)  # [3, nb]
+    br = jnp.max(
+        jnp.sqrt(jnp.sum((c3 - bc[:, :, None]) ** 2, axis=0)) + rad, axis=-1
+    )
+    br = br * jnp.float32(1.001) + jnp.float32(0.01)
+    return jnp.concatenate([bc, br[None]], axis=0)
+
+
 def _make_kernel(
     n_spheres: int,
     light_indices: Tuple[int, ...],
@@ -152,13 +180,37 @@ def _make_kernel(
     rng_next, rng_masked = _make_rng(rng)
     eps = float(np.float32(EPSILON))  # python scalar: jnp consts can't be closure-captured by kernels
 
-    def kernel(samp_ref, off_ref, scene_ref, cam_ref, s0_ref, s1_ref,
-               acc_ref, s0_out, s1_out, acc_out):
+    def kernel(samp_ref, off_ref, scene_ref, *rest):
+        if loop_scene:
+            (bounds_ref, cam_ref, s0_ref, s1_ref, acc_ref,
+             s0_out, s1_out, acc_out) = rest
+        else:
+            bounds_ref = None
+            (cam_ref, s0_ref, s1_ref, acc_ref,
+             s0_out, s1_out, acc_out) = rest
         shape = (sublanes, LANES)
         g = pl.program_id(0)
 
         def sc(f, j):
             return scene_ref[f, j]
+
+        def block_possible(t, ox, oy, oz, dx, dy, dz):
+            """Tile-level cull (see ``block_bounds``): True iff ANY lane's
+            ray can intersect block t's bounding sphere ahead of the
+            origin — the conservative superset of every contained
+            sphere's hit predicate, so a False verdict skips the block
+            with bit-identical results."""
+            bx, by, bz = bounds_ref[0, t], bounds_ref[1, t], bounds_ref[2, t]
+            rb = bounds_ref[3, t]
+            opx = bx - ox
+            opy = by - oy
+            opz = bz - oz
+            b = opx * dx + opy * dy + opz * dz
+            det = b * b - (opx * opx + opy * opy + opz * opz) + rb * rb
+            pos = (det >= 0.0) & (
+                (b + jnp.sqrt(jnp.maximum(det, 0.0))) > 0.0
+            )
+            return jnp.sum(jnp.where(pos, 1.0, 0.0)) > 0.0
 
         # Pixel coordinates (reference gid -> (x, y), rendering_kernel.cl:60-63
         # with the framebuffer v-flip folded in: row r maps to camera
@@ -247,6 +299,10 @@ def _make_kernel(
                 # while keeping code size O(1) in scene size. Iteration
                 # stays descending N-1..0 (strict < tie-break,
                 # geomfunc.h:82-89): the remainder block runs first.
+                # Each block's 16-sphere sweep is culled behind its
+                # bounding-sphere test (``block_possible``) — one ~12-op
+                # vector test + scalar reduce skips ~240 ops whenever
+                # the whole tile misses the fractal subtree.
                 nb = n_spheres // SPHERE_BLOCK
                 rem = n_spheres - nb * SPHERE_BLOCK
                 carry = init
@@ -256,9 +312,16 @@ def _make_kernel(
 
                 def block(i, c):
                     base = top - i * SPHERE_BLOCK
-                    for k in range(SPHERE_BLOCK):
-                        c = step(base - k, c)
-                    return c
+
+                    def run(c):
+                        for k in range(SPHERE_BLOCK):
+                            c = step(base - k, c)
+                        return c
+
+                    return jax.lax.cond(
+                        block_possible(nb - 1 - i, ox, oy, oz, dx, dy, dz),
+                        run, lambda c: c, c,
+                    )
 
                 carry = jax.lax.fori_loop(0, nb, block, carry)
             else:
@@ -275,7 +338,9 @@ def _make_kernel(
 
             if loop_scene:
                 # Same blocked sweep as ``nearest`` (order irrelevant
-                # for an any-hit OR; 1-register carry).
+                # for an any-hit OR; 1-register carry), with the same
+                # per-block bounding-sphere cull (maxt ignored by the
+                # bound test — conservative superset).
                 nb = n_spheres // SPHERE_BLOCK
                 rem = n_spheres - nb * SPHERE_BLOCK
                 occ = zero
@@ -285,9 +350,16 @@ def _make_kernel(
 
                 def block(i, c):
                     base = top - i * SPHERE_BLOCK
-                    for k in range(SPHERE_BLOCK):
-                        c = step(base - k, c)
-                    return c
+
+                    def run(c):
+                        for k in range(SPHERE_BLOCK):
+                            c = step(base - k, c)
+                        return c
+
+                    return jax.lax.cond(
+                        block_possible(nb - 1 - i, ox, oy, oz, dx, dy, dz),
+                        run, lambda c: c, c,
+                    )
 
                 occ = jax.lax.fori_loop(0, nb, block, occ)
             else:
@@ -490,12 +562,22 @@ def _make_kernel(
 
         carry = (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
                  thr_r, thr_g, thr_b, alive_f, spec_f, s0, s1)
+        # Tile-level early exit for EVERY kernel variant (not just
+        # loop_scene): a bounce whose whole [sublanes, 128] tile is dead
+        # is the identity (all RNG draws inside are masked by subsets of
+        # alive, so skipping is stream-identical to executing), and in
+        # direct-lighting mode diffuse lanes terminate after the first
+        # NEE estimate — most tiles die at depth 1 and skip the
+        # remaining sweeps, which is what makes DL faster than PT like
+        # the reference observes ("very fast indeed",
+        # smallptgpu-v1.6/README.txt:36-44). Depth 0 always runs: the
+        # initial alive_f is all-ones.
         for _depth in range(max_depth):
-            if loop_scene:
+            if _depth == 0:
+                carry = bounce(carry)
+            else:
                 any_alive = jnp.sum(carry[12]) > 0.0
                 carry = jax.lax.cond(any_alive, bounce, lambda c: c, carry)
-            else:
-                carry = bounce(carry)
         (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
          thr_r, thr_g, thr_b, alive_f, spec_f, s0, s1) = carry
 
@@ -554,18 +636,33 @@ def _pass_impl(
     if pix_offset is None:
         pix_offset = jnp.int32(0)
 
+    in_arrays = [
+        sample_idx.reshape(1, 1),
+        jnp.asarray(pix_offset, jnp.int32).reshape(1, 1),
+        scene_tab,
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # sample idx (1,1)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # pixel offset (1,1)
+        pl.BlockSpec(memory_space=scene_space),  # scene table
+    ]
+    if loop_scene:
+        # Per-block bounding spheres for the tile-level cull.
+        in_arrays.append(block_bounds(scene_tab))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_arrays += [cam_tab, s2, s3, acc]
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # camera
+        pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, sublanes, LANES), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+    ]
+    base = len(in_arrays) - 3  # index of s2 among inputs
+
     out_s0, out_s1, out_acc = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # sample idx (1,1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pixel offset (1,1)
-            pl.BlockSpec(memory_space=scene_space),  # scene table
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # camera
-            pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, sublanes, LANES), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -576,17 +673,9 @@ def _pass_impl(
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        input_output_aliases={base: 0, base + 1: 1, base + 2: 2},
         interpret=interpret,
-    )(
-        sample_idx.reshape(1, 1),
-        jnp.asarray(pix_offset, jnp.int32).reshape(1, 1),
-        scene_tab,
-        cam_tab,
-        s2,
-        s3,
-        acc,
-    )
+    )(*in_arrays)
     return out_s0.reshape(rp), out_s1.reshape(rp), out_acc
 
 
