@@ -134,17 +134,25 @@ def main():
     )
     from se195_raytracer_tpu.scenes.whitted5_scenes import WHITTED5_SCENES
 
+    from se195_raytracer_tpu.kernels.whitted5_kernel import (
+        render_whitted5_pallas,
+    )
+
     scene5 = WHITTED5_SCENES["room5"]()
     for w, h in [(320 // s, 240 // s), (800 // s, 600 // s)]:
         # brute_spp8: the progressive form (8 stochastic passes in one
         # dispatch) — amortizes the fixed tunnel readback the same way
         # the PT rows do; rays counts all primary samples (w*h*spp).
-        for mode in ("brute", "brute_spp8", "adaptive"):
-            if mode.startswith("brute"):
-                spp5 = 8 if mode == "brute_spp8" else 1
+        # pallas variants: the fused level kernels (whitted5_kernel.py).
+        for mode in ("brute", "brute_spp8", "pallas", "pallas_spp8",
+                     "adaptive"):
+            if mode.startswith("brute") or mode.startswith("pallas"):
+                spp5 = 8 if mode.endswith("spp8") else 1
+                fn5 = (render_whitted5_pallas if mode.startswith("pallas")
+                       else render_whitted5)
 
-                def run(scene5=scene5, w=w, h=h, spp5=spp5):
-                    return render_whitted5(scene5, width=w, height=h, spp=spp5)
+                def run(scene5=scene5, w=w, h=h, spp5=spp5, fn5=fn5):
+                    return fn5(scene5, width=w, height=h, spp=spp5)
                 rays = w * h * spp5
             else:
                 frac_box = {}
@@ -159,7 +167,7 @@ def main():
                 rays = w * h  # 1-4 rays/pixel; count pixels like the ref
             base = {"config": f"whitted5_room5_{w}x{h}_{mode}",
                     "n_prims": scene5.num_prims, "rays": rays,
-                    "pallas": False}
+                    "pallas": mode.startswith("pallas")}
             err_row, elapsed = timed_row(run, base)
             if err_row:
                 row = err_row
