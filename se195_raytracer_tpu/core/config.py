@@ -40,6 +40,15 @@ class RenderConfig:
     supersample: int = 3
     trace_depth: int = 5
     hit_bias: float = 0.0
+    # Differentiable-visibility relaxation width (world units), the
+    # SURVEY §7 hard-part-2 stretch: 0.0 = the reference's hard
+    # step-function visibility (silhouette pixels carry no gradient);
+    # > 0 smooths the nearest-hit winner selection and shadow occlusion
+    # over this length scale in BOTH forward and backward, making the
+    # rendering differentiable across silhouettes/occlusion boundaries
+    # (finite differences of the relaxed forward then agree with
+    # autodiff everywhere). Only the jnp differentiable path honors it.
+    soft_edges: float = 0.0
 
     def __post_init__(self):
         if self.integrator not in ("pt", "dl"):
