@@ -41,8 +41,14 @@ def render_differentiable(
     With ``config.use_pallas`` the PRIMAL runs on the fused Pallas PT
     kernel (kernels/pt_kernel.py) and the backward pass re-runs the
     remat'd jnp path's VJP — see ``_render_pallas_diff``. Otherwise both
-    directions use the per-bounce-remat jnp scan."""
-    if getattr(config, "use_pallas", False):
+    directions use the per-bounce-remat jnp scan.
+
+    ``config.soft_edges > 0`` (the differentiable-visibility relaxation)
+    always takes the jnp path: the kernel implements the reference-hard
+    estimator, and the relaxation must be identical in forward and
+    backward for FD/autodiff consistency."""
+    if (getattr(config, "use_pallas", False)
+            and getattr(config, "soft_edges", 0.0) == 0.0):
         if seed is not None and seed != config.seed:
             config = dataclasses.replace(config, seed=seed)
         return _render_pallas_diff(scene, camera, config)

@@ -72,6 +72,7 @@ def _sample_once(
         r, st = radiance(
             scene, o, d, st, config.max_depth, direct_only, remat=remat,
             rng=config.rng,
+            soft_edges=getattr(config, "soft_edges", 0.0),
         )
         return r, st[0], st[1]
 

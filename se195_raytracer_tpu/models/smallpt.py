@@ -32,7 +32,11 @@ from se195_raytracer_tpu.core.types import (
     CameraBasis,
     Scene,
 )
-from se195_raytracer_tpu.ops.intersect import intersect_any, intersect_nearest
+from se195_raytracer_tpu.ops.intersect import (
+    intersect_any,
+    intersect_nearest,
+    intersect_nearest_excluding,
+)
 from se195_raytracer_tpu.ops.sampling import cosine_sample_dir, uniform_sample_sphere
 
 
@@ -90,6 +94,8 @@ def sample_lights(
     nl: jnp.ndarray,
     draw_mask: jnp.ndarray,
     rng: str = "mwc",
+    soft_w: float = 0.0,
+    origin_hid: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, MWCState]:
     """Next-event estimation over all emissive spheres — geomfunc.h:112-165.
 
@@ -121,9 +127,6 @@ def sample_lights(
         wo = _dot(sdir, usp)
         wrong_half = wo > 0.0  # sample on the far half of the light sphere
         wi = _dot(sdir, nl)
-        occluded = intersect_any(
-            scene, hit_point, sdir, length - jnp.float32(EPSILON)
-        )
         s = (
             jnp.float32(4.0 * jnp.pi)
             * scene.radius[li]
@@ -132,10 +135,147 @@ def sample_lights(
             * (-wo)
             / (len_safe * len_safe)
         )
-        ok = (~wrong_half) & (wi > 0.0) & (~occluded) & draw_mask
-        contrib = jnp.where(ok[:, None], s[:, None] * scene.emission[li][None, :], 0.0)
+        if soft_w > 0.0:
+            # Relaxed visibility: smooth transmittance instead of the
+            # binary IntersectP (see the relaxation block comment).
+            trans = _soft_transmittance(
+                scene, hit_point, sdir, length - jnp.float32(EPSILON),
+                origin_hid, li, soft_w,
+            )
+            ok = (~wrong_half) & (wi > 0.0) & draw_mask
+            contrib = jnp.where(
+                ok[:, None],
+                (s * trans)[:, None] * scene.emission[li][None, :],
+                0.0,
+            )
+        else:
+            occluded = intersect_any(
+                scene, hit_point, sdir, length - jnp.float32(EPSILON)
+            )
+            ok = (~wrong_half) & (wi > 0.0) & (~occluded) & draw_mask
+            contrib = jnp.where(
+                ok[:, None], s[:, None] * scene.emission[li][None, :], 0.0
+            )
         ld = ld + contrib
     return ld, state
+
+
+# ---------------------------------------------------------------------------
+# Differentiable-visibility relaxation (RenderConfig.soft_edges > 0) —
+# SURVEY.md §7 hard part 2's stretch goal. The hard estimator's gradient
+# failures are step functions of scene parameters (grad_probe evidence,
+# r4): (a) the nearest-hit WINNER flipping between a light and the
+# geometry at its silhouette/occlusion boundary, and (b) shadow-ray
+# occlusion races where an occluder's entry distance crosses the EPSILON
+# threshold as the sampled light point moves. The relaxation replaces
+# exactly those two indicator functions with sigmoids of signed margins
+# of width ``w`` (world units), in BOTH forward and backward, so finite
+# differences of the relaxed forward agree with autodiff everywhere:
+#
+# * Emissive spheres are removed from the geometric nearest-hit and
+#   handled analytically: each light contributes ``g * |dp| * thr * e``
+#   where g = sigma(silhouette margin/w) * sigma((t_excl - t_light)/w)
+#   * sigma((t_light - eps)/w) — smooth in the light's center/radius —
+#   and the path CONTINUES through the light onto the non-light winner
+#   with throughput scaled by (1 - g) (the light becomes semi-
+#   transparent over a ~w-wide silhouette band). As w -> 0 this recovers
+#   the hard semantics: g -> {0, 1} and the continuation vanishes.
+# * Shadow visibility becomes a transmittance: T = prod_j (1 - occ_j)
+#   with occ_j = sigma(margin_j/w) * soft-OR of the two root-in-range
+#   windows, EXCLUDING the sphere the shadow ray originates on (the
+#   convex self-occlusion eps-race the hard EPSILON offset exists to
+#   suppress) and the target light itself.
+#
+# The relaxed estimator is intentionally biased near silhouettes (a
+# ~w-wide smooth band); it is a config flag, not the default.
+# ---------------------------------------------------------------------------
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _smax0(x, w):
+    """Smooth max(x, 0) with curvature scale w^2: equals w^2 at x = 0,
+    -> x for x >> w^2, -> 0 for x << -w^2; derivative in (0, 1),
+    smooth everywhere."""
+    w2 = jnp.float32(w * w)
+    return 0.5 * (x + jnp.sqrt(x * x + 4.0 * w2 * w2))
+
+
+def _soft_light_weight(scene, li: int, o, d, t_excl, soft_w: float):
+    """(g [R], |dp| [R]) for light ``li``: the smooth hit weight and the
+    absolute normal cosine at the (phantom) hit point."""
+    w = jnp.float32(soft_w)
+    eps = jnp.float32(EPSILON)
+    c = scene.center[li][None, :]
+    r = scene.radius[li]
+    op = c - o
+    b = _dot(op, d)
+    # Perpendicular miss distance computed stably (1e4-radius walls:
+    # |op|^2 - b^2 cancels catastrophically; the rejection doesn't).
+    perp = op - b[:, None] * d
+    pd = jnp.sqrt(jnp.maximum(_dot(perp, perp), 1e-12))
+    m_sil = r - pd  # >0: ray line passes inside the silhouette
+    det = m_sil * (r + pd)  # r^2 - pd^2, factored for f32 stability
+    # sqrt(smax0(det) + w^2), NOT sqrt(max(det, tiny)):
+    # d(sqrt(det))/d(params) diverges like 1/sqrt(det) at the
+    # silhouette, which would shrink the ordering sigmoid's width in
+    # PARAMETER space below any FD eps (the relaxation must be smooth at
+    # a fixed world-space scale w). smax0 is a smooth max(det, 0) with
+    # curvature scale w^2 (a hard max would put a derivative kink right
+    # at the silhouette, where the sigmoid weight is 0.5); derivative is
+    # bounded by ~1/(2w), and the ~w bias in t near grazing sits inside
+    # the band the relaxation already blurs. det can be hugely negative
+    # (1e10-scale for the wall spheres) — smax0 handles it finitely.
+    sq = jnp.sqrt(_smax0(det, w) + w * w)
+    t1 = b - sq
+    t2 = b + sq
+    t_l = jnp.where(t1 > eps, t1, t2)
+    g = (
+        _sigmoid(m_sil / w)
+        * _sigmoid((t_excl - t_l) / w)
+        * _sigmoid((t_l - eps) / w)
+    )
+    q = o + t_l[:, None] * d
+    n = q - c
+    n = n * (1.0 / jnp.sqrt(jnp.maximum(_dot(n, n), 1e-12)))[:, None]
+    return g, jnp.abs(_dot(n, d))
+
+
+def _soft_transmittance(scene, o, d, max_t, origin_hid, target_li: int,
+                        soft_w: float):
+    """[R] smooth shadow transmittance in [0, 1] (1 = unoccluded).
+
+    Per sphere j: occ_j = sigma(margin_j/w) * softOR(entry-in-range,
+    exit-in-range); the product excludes the per-lane originating sphere
+    (``origin_hid``) and the static target light ``target_li``."""
+    w = jnp.float32(soft_w)
+    eps = jnp.float32(EPSILON)
+    op = scene.center[None, :, :] - o[:, None, :]  # [R, N, 3]
+    b = jnp.sum(op * d[:, None, :], axis=-1)  # [R, N]
+    perp = op - b[..., None] * d[:, None, :]
+    pd = jnp.sqrt(jnp.maximum(jnp.sum(perp * perp, axis=-1), 1e-12))
+    m_sil = scene.radius[None, :] - pd
+    det = m_sil * (scene.radius[None, :] + pd)
+    # Smooth, derivative-bounded root (see _soft_light_weight).
+    sq = jnp.sqrt(_smax0(det, w) + w * w)
+    t1 = b - sq
+    t2 = b + sq
+    mt = max_t[:, None]
+
+    def in_range(t):
+        return _sigmoid((t - eps) / w) * _sigmoid((mt - t) / w)
+
+    f1 = in_range(t1)
+    f2 = in_range(t2)
+    f_t = f1 + f2 - f1 * f2
+    occ = _sigmoid(m_sil / w) * f_t
+    n = occ.shape[-1]
+    cols = jnp.arange(n)[None, :]
+    occ = jnp.where(cols == origin_hid[:, None], 0.0, occ)
+    occ = jnp.where(cols == target_li, 0.0, occ)
+    return jnp.prod(1.0 - occ, axis=-1)
 
 
 class BounceCarry(NamedTuple):
@@ -149,12 +289,36 @@ class BounceCarry(NamedTuple):
     s1: jnp.ndarray  # [R] uint32
 
 
-def _bounce_body(scene: Scene, direct_only: bool, rng: str, carry: BounceCarry, _) -> Tuple[BounceCarry, None]:
-    """One iteration of the bounce loop (geomfunc.h:182-336), all lanes."""
+def _bounce_body(scene: Scene, direct_only: bool, rng: str, soft_edges: float, carry: BounceCarry, _) -> Tuple[BounceCarry, None]:
+    """One iteration of the bounce loop (geomfunc.h:182-336), all lanes.
+
+    ``soft_edges > 0`` switches to the differentiable-visibility
+    relaxation (see the block comment above): lights leave the geometric
+    nearest-hit and contribute analytically with smooth weights, and
+    the path continues through them with (1-g)-damped throughput."""
     o, d, rad, thr, alive, spec_b, s0, s1 = carry
     state: MWCState = (s0, s1)
 
-    t, hid, hit = intersect_nearest(scene, o, d)
+    soft = soft_edges > 0.0
+    if soft:
+        t, hid, hit = intersect_nearest_excluding(
+            scene, o, d, scene.light_indices
+        )
+        # Analytic soft light terms: emission gated on the specular-
+        # bounce flag exactly like the hard path (geomfunc.h:216-227);
+        # absorption at the light (1-g) applies regardless of the gate —
+        # the hard path terminates at a light whether or not it adds
+        # emission.
+        for li in scene.light_indices:
+            g, adp = _soft_light_weight(scene, li, o, d, t, soft_edges)
+            rad = rad + jnp.where(
+                (alive & spec_b)[:, None],
+                (g * adp)[:, None] * thr * scene.emission[li][None, :],
+                0.0,
+            )
+            thr = thr * jnp.where(alive[:, None], (1.0 - g)[:, None], 1.0)
+    else:
+        t, hid, hit = intersect_nearest(scene, o, d)
     act = alive & hit  # lanes doing shading work this bounce
 
     t_safe = jnp.where(hit, t, jnp.float32(1.0))
@@ -186,7 +350,10 @@ def _bounce_body(scene: Scene, direct_only: bool, rng: str, carry: BounceCarry, 
     draw = next_masked(rng)
     # ---------------- DIFF (geomfunc.h:229-269) ----------------
     thr_c = thr * c  # throughput already multiplied before NEE (:231)
-    ld, state = sample_lights(scene, state, hp, nl, is_diff, rng)
+    ld, state = sample_lights(
+        scene, state, hp, nl, is_diff, rng,
+        soft_w=soft_edges, origin_hid=hid,
+    )
     rad = rad + jnp.where(is_diff[:, None], thr_c * ld, 0.0)
     if direct_only:
         # RadianceDirectLighting:402-414 — diffuse path terminates after NEE.
@@ -271,6 +438,7 @@ def radiance(
     direct_only: bool = False,
     remat: bool = False,
     rng: str = "mwc",
+    soft_edges: float = 0.0,
 ) -> Tuple[jnp.ndarray, MWCState]:
     """Estimate radiance for a batch of rays.
 
@@ -280,6 +448,10 @@ def radiance(
     ``remat=True`` wraps each bounce in ``jax.checkpoint`` — per-bounce
     gradient rematerialization so backward memory is O(1) in depth
     (the blockwise/remat analogue of SURVEY.md §5).
+
+    ``soft_edges > 0`` enables the differentiable-visibility relaxation
+    (see the block comment above BounceCarry): smooth silhouette/shadow
+    gradients, intentionally biased within a ~soft_edges-wide band.
     """
     r = origin.shape[0]
     carry = BounceCarry(
@@ -292,7 +464,9 @@ def radiance(
         s0=state[0],
         s1=state[1],
     )
-    body = functools.partial(_bounce_body, scene, direct_only, rng)
+    body = functools.partial(
+        _bounce_body, scene, direct_only, rng, float(soft_edges)
+    )
     if remat:
         body = jax.checkpoint(body)
     carry, _ = jax.lax.scan(body, carry, None, length=max_depth)

@@ -77,6 +77,32 @@ def intersect_nearest(
     return t, hit_id.astype(jnp.int32), hit
 
 
+def intersect_nearest_excluding(
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    exclude: Tuple[int, ...],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Nearest-hit restricted to spheres NOT in the static ``exclude``
+    index set — used by the soft-visibility relaxation, which handles
+    emissive spheres analytically (models/smallpt.py soft_edges) so the
+    geometric winner must be chosen among the others. Same reversed
+    argmin tie-break as ``intersect_nearest``."""
+    d = sphere_intersect(scene, origin, direction)  # [R, N]
+    dm = jnp.where(d != 0.0, d, _INF)
+    if exclude:
+        cols = jnp.zeros((dm.shape[-1],), bool)
+        for j in exclude:
+            cols = cols.at[j].set(True)
+        dm = jnp.where(cols[None, :], _INF, dm)
+    n = dm.shape[-1]
+    rev_idx = jnp.argmin(dm[:, ::-1], axis=-1)
+    hit_id = (n - 1) - rev_idx
+    t = jnp.take_along_axis(dm, hit_id[:, None], axis=-1)[:, 0]
+    hit = t < _INF
+    return t, hit_id.astype(jnp.int32), hit
+
+
 def intersect_any(
     scene: Scene,
     origin: jnp.ndarray,
