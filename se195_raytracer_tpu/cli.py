@@ -171,9 +171,18 @@ def cmd_render(args) -> int:
                     file=sys.stderr,
                 )
             else:
+                if args.pallas:
+                    from se195_raytracer_tpu.kernels.whitted5_kernel import (
+                        render_whitted5_pallas,
+                    )
+
+                    fn5 = render_whitted5_pallas
+                else:
+                    fn5 = render_whitted5
                 img = np.asarray(
-                    render_whitted5(
-                        scene5, width=args.width, height=args.height, spp=args.spp
+                    fn5(
+                        scene5, width=args.width, height=args.height,
+                        spp=args.spp, seed=args.seed,
                     )
                 )
             img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)

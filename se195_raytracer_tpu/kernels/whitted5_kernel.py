@@ -64,7 +64,6 @@ from se195_raytracer_tpu.models.whitted5 import (
     PASS_DRAW_BUDGET,
     TRACEDEPTH5,
     _static_normals,
-    get_color,
 )
 
 LANES = 128
@@ -554,6 +553,73 @@ def _tile128(v, rows, fill=0.0):
     return v.reshape(rows, LANES)
 
 
+def _texel_planes(bitmap, u, v):
+    """models/whitted5._texel per channel on component planes — same
+    arithmetic (incl. the width-for-height quirk), but the gathers run
+    on 2-D channel slices and every operand is a flat [R] vector: next
+    to the Pallas custom-calls XLA lays minor-dim-3 arrays out tiled
+    (3 -> 128 lanes, a 42x memory blow-up that OOM'd 800x600 — the
+    whole driver is component-planes for that reason)."""
+    th, tw = bitmap.shape[0], bitmap.shape[1]
+    fu = (u + 1000.5) * tw
+    fv = (v + 1000.0) * tw
+    u1 = jnp.floor(fu).astype(jnp.int32) % tw
+    v1 = jnp.floor(fv).astype(jnp.int32) % th
+    u2 = (u1 + 1) % tw
+    v2 = (v1 + 1) % th
+    fracu = fu - jnp.floor(fu)
+    fracv = fv - jnp.floor(fv)
+    w1 = (1 - fracu) * (1 - fracv)
+    w2 = fracu * (1 - fracv)
+    w3 = (1 - fracu) * fracv
+    w4 = fracu * fracv
+    out = []
+    for c in range(3):
+        ch = bitmap[:, :, c]
+        out.append(
+            ch[v1, u1] * w1 + ch[v1, u2] * w2
+            + ch[v2, u1] * w3 + ch[v2, u2] * w4
+        )
+    return tuple(out)
+
+
+def _get_color_planes(scene: Whitted5Scene, idx, px, py, pz):
+    """models/whitted5.get_color on component planes: (cr, cg, cb) [R]
+    with texture modulation (same per-channel values)."""
+    col_t = [scene.color[:, c] for c in range(3)]
+    out = [col_t[c][idx] for c in range(3)]
+    for j in range(scene.num_prims):
+        t = scene.tex_id[j]
+        if t < 0:
+            continue
+        bitmap = scene.textures[t]
+        us = scene.uv_scale[j]
+        if scene.ptype[j] == SPHERE5:
+            rr = 1.0 / jnp.where(scene.radius[j] != 0.0, scene.radius[j], 1.0)
+            c = scene.center[j]
+            vpx = (px - c[0]) * rr
+            vpy = (py - c[1]) * rr
+            vpz = (pz - c[2]) * rr
+            cosphi = jnp.clip(-vpy, -1.0, 1.0)
+            phi = jnp.arccos(cosphi)
+            sinphi = jnp.sqrt(jnp.maximum(1.0 - cosphi * cosphi, 1e-12))
+            vcoord = phi * (1.0 / us[1]) * (1.0 / jnp.float32(PI))
+            costheta = jnp.clip(vpx / sinphi, -1.0, 1.0)
+            theta = jnp.arccos(costheta) * jnp.float32(2.0 / PI)
+            ucoord = jnp.where(-vpz >= 0.0, 1.0 - theta, theta) * (1.0 / us[0])
+        else:  # plane mapping (boxes keep material color in the reference)
+            nrm = scene.normal[j]
+            ua = jnp.stack([nrm[1], nrm[2], -nrm[0]])
+            va = jnp.cross(ua, nrm)
+            ucoord = (px * ua[0] + py * ua[1] + pz * ua[2]) * us[0]
+            vcoord = (px * va[0] + py * va[1] + pz * va[2]) * us[1]
+        tex = _texel_planes(bitmap, ucoord, vcoord)
+        sel = idx == j
+        for c in range(3):
+            out[c] = jnp.where(sel, tex[c] * scene.color[j, c], out[c])
+    return tuple(out)
+
+
 def whitted5_trace_pallas(
     scene: Whitted5Scene,
     o: jnp.ndarray,
@@ -569,7 +635,13 @@ def whitted5_trace_pallas(
     levelwise tree, with each level's node work fused into the Pallas
     kernel and only texture gathers + color-weight combines in XLA.
     Same RNG streams; output agrees with the jnp path to float
-    reassociation. Returns (accumulated color [R, 3], advanced state)."""
+    reassociation. Returns (accumulated color [R, 3], advanced state).
+
+    Every inter-level value lives as COMPONENT PLANES (flat [K*R]
+    vectors per x/y/z/r/g/b component), never [K*R, 3]: adjacent to the
+    Pallas custom-calls XLA tiles minor-dim-3 arrays to 128 lanes — a
+    42x padding blow-up that OOM'd the 800x600 frame at 21 GB of HLO
+    temps for <1 GB of data."""
     eps = jnp.float32(EPSILON5)
     r = o.shape[0]
     key_in, ctr_in = state
@@ -579,13 +651,14 @@ def whitted5_trace_pallas(
         scene_tab = pack_whitted5_scene(scene)
     refl_tab = scene.refl
     ridx_tab = jnp.where(scene.refr_index != 0.0, scene.refr_index, 1.0)
-    is_light_arr = jnp.asarray(np.array(scene.is_light, bool))
+    col_tabs = [scene.color[:, c] for c in range(3)]
 
-    acc_total = jnp.zeros_like(o)
+    acc = [jnp.zeros(r, jnp.float32) for _ in range(3)]
     heap_ids = [0]
-    o_b, d_b = o, d
-    weight = jnp.ones_like(o)
-    beer = jnp.zeros_like(o)
+    ob = [o[:, c] for c in range(3)]
+    db = [d[:, c] for c in range(3)]
+    weight = [jnp.ones(r, jnp.float32) for _ in range(3)]
+    beer = [jnp.zeros(r, jnp.float32) for _ in range(3)]
     rindex = jnp.ones(r, jnp.float32)
     valid = jnp.ones(r, bool)
 
@@ -601,14 +674,7 @@ def whitted5_trace_pallas(
         keys = _node_key_jnp(jnp.tile(key_in, k), hvec)
         ctrs = jnp.tile(ctr_in, k)
 
-        rays = jnp.stack(
-            [
-                _tile128(o_b[:, 0], rows), _tile128(o_b[:, 1], rows),
-                _tile128(o_b[:, 2], rows),
-                _tile128(d_b[:, 0], rows), _tile128(d_b[:, 1], rows),
-                _tile128(d_b[:, 2], rows),
-            ]
-        )
+        rays = jnp.stack([_tile128(v, rows) for v in ob + db])
         out = _whitted5_level_pallas(
             scene_tab, rays,
             _tile128(keys, rows, 0), _tile128(ctrs, rows, 0),
@@ -624,45 +690,56 @@ def whitted5_trace_pallas(
         safe = jnp.maximum(idx, 0)
         hit = out[_O_HIT] > 0.5
         dist = out[_O_DIST]
-        point = out[_O_PX:_O_PZ + 1].T
-        color = get_color(scene, safe, point)
-        local = out[_O_AR:_O_AB + 1].T * color + out[_O_BR:_O_BB + 1].T
+        px, py, pz = out[_O_PX], out[_O_PY], out[_O_PZ]
+        color = _get_color_planes(scene, safe, px, py, pz)
 
-        w_eff = weight * jnp.exp(beer * (-dist)[:, None])
-        contrib = jnp.where((valid & hit)[:, None], w_eff * local, 0.0)
-        acc_total = acc_total + contrib.reshape(k, r, 3).sum(axis=0)
+        vh = valid & hit
+        w_eff = []
+        for c in range(3):
+            w_eff.append(weight[c] * jnp.exp(beer[c] * (-dist)))
+            local_c = out[_O_AR + c] * color[c] + out[_O_BR + c]
+            contrib = jnp.where(vh, w_eff[c] * local_c, 0.0)
+            acc[c] = acc[c] + contrib.reshape(k, r).sum(axis=0)
         if level >= trace_depth:
             break
 
         refl_ok = out[_O_RLOK] > 0.5
         refr_ok = out[_O_RROK] > 0.5
-        child_dir = out[_O_RLX:_O_RLZ + 1].T
-        refr_dir_raw = out[_O_RRX:_O_RRZ + 1].T
+        cdir = [out[_O_RLX], out[_O_RLY], out[_O_RLZ]]
+        tdir = [out[_O_RRX], out[_O_RRY], out[_O_RRZ]]
         refl = refl_tab[safe]
         m_ridx = ridx_tab[safe]
+        point = [px, py, pz]
 
-        child_w = w_eff * refl[:, None] * color
-        refl_o = jnp.where(refl_ok[:, None], point + child_dir * eps, point)
-        refl_w = jnp.where(refl_ok[:, None], child_w, 0.0)
-
-        child_beer = scene.color[safe] * jnp.float32(0.15)
-        refr_o = jnp.where(refr_ok[:, None], point + refr_dir_raw * eps, point)
-        refr_d = jnp.where(refr_ok[:, None], refr_dir_raw, d_b)
-        refr_w = jnp.where(refr_ok[:, None], w_eff, 0.0)
-        refr_beer = jnp.where(refr_ok[:, None], child_beer, 0.0)
-        refr_ri = jnp.where(refr_ok, m_ridx, rindex)
-
-        o_b = jnp.concatenate([refl_o, refr_o])
-        d_b = jnp.concatenate([child_dir, refr_d])
-        weight = jnp.concatenate([refl_w, refr_w])
-        beer = jnp.concatenate([jnp.zeros_like(refl_w), refr_beer])
-        rindex = jnp.concatenate([rindex, refr_ri])
+        ob_n, db_n, w_n, beer_n = [], [], [], []
+        for c in range(3):
+            refl_o = jnp.where(refl_ok, point[c] + cdir[c] * eps, point[c])
+            refl_w = jnp.where(refl_ok, w_eff[c] * refl * color[c], 0.0)
+            refr_o = jnp.where(refr_ok, point[c] + tdir[c] * eps, point[c])
+            refr_d = jnp.where(refr_ok, tdir[c], db[c])
+            refr_w = jnp.where(refr_ok, w_eff[c], 0.0)
+            refr_beer = jnp.where(
+                refr_ok, col_tabs[c][safe] * jnp.float32(0.15), 0.0
+            )
+            ob_n.append(jnp.concatenate([refl_o, refr_o]))
+            db_n.append(jnp.concatenate([cdir[c], refr_d]))
+            w_n.append(jnp.concatenate([refl_w, refr_w]))
+            beer_n.append(
+                jnp.concatenate([jnp.zeros_like(refl_w), refr_beer])
+            )
+        ob, db, weight, beer = ob_n, db_n, w_n, beer_n
+        rindex = jnp.concatenate(
+            [rindex, jnp.where(refr_ok, m_ridx, rindex)]
+        )
         valid = jnp.concatenate([refl_ok, refr_ok])
         heap_ids = [2 * i + 1 for i in heap_ids] + [
             2 * i + 2 for i in heap_ids
         ]
 
-    return acc_total, (key_in, ctr_in + jnp.uint32(PASS_DRAW_BUDGET))
+    return (
+        jnp.stack(acc, axis=-1),
+        (key_in, ctr_in + jnp.uint32(PASS_DRAW_BUDGET)),
+    )
 
 
 @functools.partial(
