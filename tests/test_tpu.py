@@ -125,3 +125,44 @@ def test_large_scene_loop_kernel_on_tpu(tpu):
     a = np.asarray(img)
     assert np.isfinite(a).all()
     assert a.max() > 0.01  # scene is lit
+
+
+def test_whitted5_pallas_on_tpu(tpu):
+    """whitted5 fused level kernels ON TPU (Mosaic lowering + the
+    component-plane driver) vs the jnp path on the same chip: identical
+    RNG streams, so agreement is reassociation-level except where a
+    1-ulp geometric drift flips one MC shadow-sample visibility
+    (bounded max, tight p99)."""
+    from se195_raytracer_tpu.kernels.whitted5_kernel import (
+        render_whitted5_pallas,
+    )
+    from se195_raytracer_tpu.models.whitted5 import render_whitted5
+    from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
+
+    scene = room5_scene()
+    a = np.asarray(render_whitted5(scene, width=64, height=48, spp=1, seed=3))
+    b = np.asarray(
+        render_whitted5_pallas(scene, width=64, height=48, spp=1, seed=3)
+    )
+    assert np.isfinite(b).all()
+    d = np.abs(a - b)
+    assert float(np.percentile(d, 99)) < 1e-4, np.percentile(d, 99)
+    assert float(d.max()) < 5e-3, d.max()
+
+
+def test_whitted5_adaptive_on_tpu(tpu):
+    """Adaptive 1-vs-4 supersampling ON TPU — the r3 rows SIGILL'd the
+    TPU compiler; the split trace/blend dispatches must now run."""
+    from se195_raytracer_tpu.models.whitted5 import (
+        render_whitted5,
+        render_whitted5_adaptive,
+    )
+    from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
+
+    scene = room5_scene()
+    img, frac = render_whitted5_adaptive(scene, width=80, height=60, seed=3)
+    img = np.asarray(img)
+    assert img.shape == (60, 80, 3)
+    assert np.isfinite(img).all()
+    assert 0.0 < frac < 0.5
+    assert img.max() > 0.3 and np.abs(img).mean() > 0.01
