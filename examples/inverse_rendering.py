@@ -28,6 +28,13 @@ def main():
         " BASELINE config #4 full scale (see tools/grad_bench.py).",
     )
     ap.add_argument("--outdir", default=os.path.dirname(os.path.abspath(__file__)))
+    ap.add_argument(
+        "--soft", type=float, default=0.0,
+        help="differentiable-visibility relaxation width (world units): "
+        "> 0 gives the optimizer silhouette gradients (the emissive "
+        "disk's position becomes directly visible to descent instead of "
+        "only through the diffuse lit field); forces the jnp path.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,7 +57,8 @@ def main():
     )
     cfg = RenderConfig(
         width=args.size, height=args.size, spp=args.spp, seed=5,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas and args.soft == 0.0,
+        soft_edges=args.soft,
     )
     spec = get_scene("cornell")
     scene_true, cam = spec.to_scene(), spec.to_camera()
@@ -59,9 +67,10 @@ def main():
     target = render_differentiable(scene_true, cam, cfg)
 
     # Perturb: move the ceiling light, tint the left wall. (Light position
-    # carries strong smooth gradients through the NEE geometry term;
-    # mirror-sphere geometry is silhouette-dominated — SURVEY.md §7 hard
-    # part 2 — and is out of scope for plain pixel-gradient descent.)
+    # carries strong smooth gradients through the NEE geometry term; with
+    # --soft > 0 the visibility relaxation adds the silhouette gradients
+    # too — SURVEY.md §7 hard part 2's stretch, landed in r4 — which is
+    # what lets descent see the emissive disk's position directly.)
     scene0 = scene_true.replace(
         center=scene_true.center.at[8].add(jnp.array([8.0, -5.0, 0.0])),
         color=scene_true.color.at[0].set(jnp.array([0.3, 0.6, 0.3])),

@@ -57,6 +57,23 @@ UNROLL_MAX_SPHERES = 96
 # body unrolls this many spheres so loop control and carry traffic
 # amortize, while compile time stays O(1) in scene size.
 SPHERE_BLOCK = 16
+# Tile-level block culling in the large-scene kernel (see block_bounds).
+# DEFAULT OFF: measured on a real v5e (r4, marginal-rate A/B on
+# complex783 512x512), the per-block lax.cond costs more than the
+# skipped sweeps save — 9.2 Mrays/s culled vs 11.9 uncull'd. Viewed from
+# inside, the fractal's subtree bounds cover most tiles, and the cond
+# disrupts Mosaic's software pipelining of the blocked sweep. Kept
+# env-gated (SE195_PT_CULL=1) with bit-identical output for workloads
+# where tiles actually miss whole subtrees (e.g. sparse fly-bys).
+import os as _os
+
+CULL_BLOCKS = _os.environ.get("SE195_PT_CULL", "0") == "1"
+# Per-bounce whole-tile early exit (SE195_PT_EARLYEXIT=0 disables;
+# depth 0 always runs). Measured neutral for cornell PT (within tunnel
+# noise around ~300 Mrays/s marginal) and clearly right for DL, whose
+# diffuse lanes die after the first NEE estimate (DL > PT e2e on the
+# chip, matching the reference's qualitative claim).
+EARLY_EXIT = _os.environ.get("SE195_PT_EARLYEXIT", "1") != "0"
 
 
 def pack_scene(scene: Scene) -> jnp.ndarray:
@@ -318,6 +335,8 @@ def _make_kernel(
                             c = step(base - k, c)
                         return c
 
+                    if not CULL_BLOCKS:
+                        return run(c)
                     return jax.lax.cond(
                         block_possible(nb - 1 - i, ox, oy, oz, dx, dy, dz),
                         run, lambda c: c, c,
@@ -356,6 +375,8 @@ def _make_kernel(
                             c = step(base - k, c)
                         return c
 
+                    if not CULL_BLOCKS:
+                        return run(c)
                     return jax.lax.cond(
                         block_possible(nb - 1 - i, ox, oy, oz, dx, dy, dz),
                         run, lambda c: c, c,
@@ -573,7 +594,7 @@ def _make_kernel(
         # smallptgpu-v1.6/README.txt:36-44). Depth 0 always runs: the
         # initial alive_f is all-ones.
         for _depth in range(max_depth):
-            if _depth == 0:
+            if _depth == 0 or not EARLY_EXIT:
                 carry = bounce(carry)
             else:
                 any_alive = jnp.sum(carry[12]) > 0.0
