@@ -553,14 +553,17 @@ def _tile128(v, rows, fill=0.0):
     return v.reshape(rows, LANES)
 
 
-def _texel_planes(bitmap, u, v):
+def _texel_planes(bitmap, u, v, row_offset=None, wrap_shape=None):
     """models/whitted5._texel per channel on component planes — same
-    arithmetic (incl. the width-for-height quirk), but the gathers run
-    on 2-D channel slices and every operand is a flat [R] vector: next
-    to the Pallas custom-calls XLA lays minor-dim-3 arrays out tiled
-    (3 -> 128 lanes, a 42x memory blow-up that OOM'd 800x600 — the
-    whole driver is component-planes for that reason)."""
-    th, tw = bitmap.shape[0], bitmap.shape[1]
+    arithmetic (incl. the width-for-height quirk), operating on flat
+    [R] vectors: next to the Pallas custom-calls XLA lays minor-dim-3
+    arrays out tiled (3 -> 128 lanes, a 42x memory blow-up that OOM'd
+    800x600 — the whole driver is component-planes for that reason).
+
+    ``wrap_shape``/``row_offset``: atlas mode — the wrap math runs at
+    the per-texture shape, then rows are offset into the concatenated
+    atlas (see _get_color_planes)."""
+    th, tw = (wrap_shape if wrap_shape is not None else bitmap.shape)[:2]
     fu = (u + 1000.5) * tw
     fv = (v + 1000.0) * tw
     u1 = jnp.floor(fu).astype(jnp.int32) % tw
@@ -573,46 +576,95 @@ def _texel_planes(bitmap, u, v):
     w2 = fracu * (1 - fracv)
     w3 = (1 - fracu) * fracv
     w4 = fracu * fracv
-    out = []
-    for c in range(3):
-        ch = bitmap[:, :, c]
-        out.append(
-            ch[v1, u1] * w1 + ch[v1, u2] * w2
-            + ch[v2, u1] * w3 + ch[v2, u2] * w4
-        )
+    # Four ROW gathers of [R, 3] rgb triples, unstacked to planes
+    # immediately. Measured on the chip (r4 gather race): XLA-TPU
+    # gathers are HBM-random-access-latency-bound (~4.5M single-element
+    # fetches/s regardless of formulation — 12 scalar sweeps, flat
+    # 1-D, or quad-packed uint32 all cost the same), but a 3-element
+    # row per index amortizes the latency ~3x. The [R, 3] gather
+    # output is consumed by slices right here, so it stays off the
+    # padded-layout path that plane-ification exists to avoid.
+    if row_offset is not None:
+        v1 = v1 + row_offset
+        v2 = v2 + row_offset
+    out = [jnp.zeros_like(w1) for _ in range(3)]
+    for (vi, ui), wgt in (((v1, u1), w1), ((v1, u2), w2),
+                          ((v2, u1), w3), ((v2, u2), w4)):
+        rows = bitmap[vi, ui]  # [R, 3]
+        for c in range(3):
+            out[c] = out[c] + rows[:, c] * wgt
     return tuple(out)
+
+
+def _prim_uv_planes(scene: Whitted5Scene, j: int, px, py, pz):
+    """(ucoord, vcoord) [R] for textured primitive j — per-class mapping
+    from models/whitted5.get_color, componentwise."""
+    us = scene.uv_scale[j]
+    if scene.ptype[j] == SPHERE5:
+        rr = 1.0 / jnp.where(scene.radius[j] != 0.0, scene.radius[j], 1.0)
+        c = scene.center[j]
+        vpx = (px - c[0]) * rr
+        vpy = (py - c[1]) * rr
+        vpz = (pz - c[2]) * rr
+        cosphi = jnp.clip(-vpy, -1.0, 1.0)
+        phi = jnp.arccos(cosphi)
+        sinphi = jnp.sqrt(jnp.maximum(1.0 - cosphi * cosphi, 1e-12))
+        vcoord = phi * (1.0 / us[1]) * (1.0 / jnp.float32(PI))
+        costheta = jnp.clip(vpx / sinphi, -1.0, 1.0)
+        theta = jnp.arccos(costheta) * jnp.float32(2.0 / PI)
+        ucoord = jnp.where(-vpz >= 0.0, 1.0 - theta, theta) * (1.0 / us[0])
+    else:  # plane mapping (boxes keep material color in the reference)
+        nrm = scene.normal[j]
+        ua = jnp.stack([nrm[1], nrm[2], -nrm[0]])
+        va = jnp.cross(ua, nrm)
+        ucoord = (px * ua[0] + py * ua[1] + pz * ua[2]) * us[0]
+        vcoord = (px * va[0] + py * va[1] + pz * va[2]) * us[1]
+    return ucoord, vcoord
 
 
 def _get_color_planes(scene: Whitted5Scene, idx, px, py, pz):
     """models/whitted5.get_color on component planes: (cr, cg, cb) [R]
-    with texture modulation (same per-channel values)."""
+    with texture modulation (same per-channel values).
+
+    When every texture has the same shape (the reference's .tga assets
+    are all 200x200), the per-prim fetches collapse into ONE atlas
+    fetch: uv is selected per lane by the hit id (cheap elementwise),
+    the per-texture wrap math is unchanged (same th/tw), and the gather
+    hits a row-concatenated atlas at v + 200*texture. Gathers are the
+    measured bottleneck of this family (HBM random-access latency, see
+    _texel_planes), so fetch COUNT is what matters."""
     col_t = [scene.color[:, c] for c in range(3)]
     out = [col_t[c][idx] for c in range(3)]
-    for j in range(scene.num_prims):
-        t = scene.tex_id[j]
-        if t < 0:
-            continue
-        bitmap = scene.textures[t]
-        us = scene.uv_scale[j]
-        if scene.ptype[j] == SPHERE5:
-            rr = 1.0 / jnp.where(scene.radius[j] != 0.0, scene.radius[j], 1.0)
-            c = scene.center[j]
-            vpx = (px - c[0]) * rr
-            vpy = (py - c[1]) * rr
-            vpz = (pz - c[2]) * rr
-            cosphi = jnp.clip(-vpy, -1.0, 1.0)
-            phi = jnp.arccos(cosphi)
-            sinphi = jnp.sqrt(jnp.maximum(1.0 - cosphi * cosphi, 1e-12))
-            vcoord = phi * (1.0 / us[1]) * (1.0 / jnp.float32(PI))
-            costheta = jnp.clip(vpx / sinphi, -1.0, 1.0)
-            theta = jnp.arccos(costheta) * jnp.float32(2.0 / PI)
-            ucoord = jnp.where(-vpz >= 0.0, 1.0 - theta, theta) * (1.0 / us[0])
-        else:  # plane mapping (boxes keep material color in the reference)
-            nrm = scene.normal[j]
-            ua = jnp.stack([nrm[1], nrm[2], -nrm[0]])
-            va = jnp.cross(ua, nrm)
-            ucoord = (px * ua[0] + py * ua[1] + pz * ua[2]) * us[0]
-            vcoord = (px * va[0] + py * va[1] + pz * va[2]) * us[1]
+    textured = [j for j in range(scene.num_prims) if scene.tex_id[j] >= 0]
+    if not textured:
+        return tuple(out)
+    shapes = {scene.textures[scene.tex_id[j]].shape for j in textured}
+    if len(shapes) == 1 and len(textured) > 1:
+        th = next(iter(shapes))[0]
+        atlas = jnp.concatenate(
+            [scene.textures[t] for t in range(len(scene.textures))], axis=0
+        )
+        sel_u = jnp.zeros_like(px)
+        sel_v = jnp.zeros_like(px)
+        sel_off = jnp.zeros_like(idx)
+        for j in textured:
+            ucoord, vcoord = _prim_uv_planes(scene, j, px, py, pz)
+            m = idx == j
+            sel_u = jnp.where(m, ucoord, sel_u)
+            sel_v = jnp.where(m, vcoord, sel_v)
+            sel_off = jnp.where(m, scene.tex_id[j] * th, sel_off)
+        tex = _texel_planes(atlas, sel_u, sel_v, row_offset=sel_off,
+                            wrap_shape=next(iter(shapes)))
+        for j in textured:
+            sel = idx == j
+            for c in range(3):
+                out[c] = jnp.where(
+                    sel, tex[c] * scene.color[j, c], out[c]
+                )
+        return tuple(out)
+    for j in textured:
+        bitmap = scene.textures[scene.tex_id[j]]
+        ucoord, vcoord = _prim_uv_planes(scene, j, px, py, pz)
         tex = _texel_planes(bitmap, ucoord, vcoord)
         sel = idx == j
         for c in range(3):
