@@ -121,8 +121,24 @@ def sample_lights(
         usp = uniform_sample_sphere(draw_b, draw_a)  # [R, 3]
         sphere_point = scene.radius[li] * usp + scene.center[li][None, :]
         sdir = sphere_point - hit_point
-        length = jnp.sqrt(_dot(sdir, sdir))
-        len_safe = jnp.maximum(length, jnp.float32(1e-20))
+        if soft_w > 0.0:
+            # sqrt at an exact 0 (hit point coinciding with the sampled
+            # light point — one-in-1e5 f32 coincidence at full frame
+            # size) has a 0/0 JVP; the max-guard zeroes the tangent at
+            # the clamp instead of NaN-poisoning the pixel. Soft mode
+            # only: the hard path must stay bit-identical to the
+            # reference oracle (which computes sqrt(0) = 0).
+            length = jnp.sqrt(jnp.maximum(_dot(sdir, sdir), 1e-24))
+        else:
+            length = jnp.sqrt(_dot(sdir, sdir))
+        # Soft mode floors at 1e-10, not 1e-20: TPU flushes subnormals
+        # to zero, so (1e-20)^2 -> 0 and the 1/len^2 geometry factor
+        # becomes inf with NaN tangents on the (masked-out) degenerate
+        # lanes; 1e-10 squares to a normal float. Hard mode keeps the
+        # reference-parity value.
+        len_safe = jnp.maximum(
+            length, jnp.float32(1e-10 if soft_w > 0.0 else 1e-20)
+        )
         sdir = sdir / len_safe[:, None]
         wo = _dot(sdir, usp)
         wrong_half = wo > 0.0  # sample on the far half of the light sphere

@@ -77,6 +77,31 @@ def intersect_nearest(
     return t, hit_id.astype(jnp.int32), hit
 
 
+def _sphere_intersect_gradsafe(
+    scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray
+) -> jnp.ndarray:
+    """``sphere_intersect`` with a derivative-safe discriminant floor.
+
+    The hard path's ``sqrt(where(det >= 0, det, 1))`` passes det == +0.0
+    through — an exactly-tangent ray (it happens at full frame size in
+    f32) then has sqrt'(0) = inf and one NaN pixel in the soft-mode JVP
+    (found by debug_nans on the chip, r4). Flooring at 1e-30 changes
+    values only for det in (0, 1e-30) — below f32 visibility downstream,
+    and the TPU flushes that subnormal range to zero anyway — while
+    bounding the tangent. Used by the soft-visibility relaxation's
+    nearest-hit; the hard path keeps the reference-exact form."""
+    op = scene.center[None, :, :] - origin[:, None, :]
+    b = jnp.sum(op * direction[:, None, :], axis=-1)
+    det = b * b - jnp.sum(op * op, axis=-1) + (scene.radius * scene.radius)[None, :]
+    hit_mask = det >= 0.0
+    sq = jnp.sqrt(jnp.where(hit_mask, jnp.maximum(det, 1e-30), 1.0))
+    t1 = b - sq
+    t2 = b + sq
+    eps = jnp.float32(EPSILON)
+    t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
+    return jnp.where(hit_mask, t, 0.0)
+
+
 def intersect_nearest_excluding(
     scene: Scene,
     origin: jnp.ndarray,
@@ -87,8 +112,9 @@ def intersect_nearest_excluding(
     index set — used by the soft-visibility relaxation, which handles
     emissive spheres analytically (models/smallpt.py soft_edges) so the
     geometric winner must be chosen among the others. Same reversed
-    argmin tie-break as ``intersect_nearest``."""
-    d = sphere_intersect(scene, origin, direction)  # [R, N]
+    argmin tie-break as ``intersect_nearest``; derivative-safe
+    discriminant (see _sphere_intersect_gradsafe)."""
+    d = _sphere_intersect_gradsafe(scene, origin, direction)  # [R, N]
     dm = jnp.where(d != 0.0, d, _INF)
     if exclude:
         cols = jnp.zeros((dm.shape[-1],), bool)
