@@ -280,16 +280,24 @@ def get_normal(scene: Whitted5Scene, idx: jnp.ndarray, point: jnp.ndarray):
     return jnp.where(is_sphere[:, None], n_sphere, _static_normals(scene)[idx])
 
 
-def _texel(bitmap: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def _texel(bitmap: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+           row_offset=None, wrap_shape=None) -> jnp.ndarray:
     """Texture::GetTexel (scene.cpp:81-106), including the quirk that both
-    fu and fv are scaled by the texture *width*."""
-    th, tw = bitmap.shape[0], bitmap.shape[1]
+    fu and fv are scaled by the texture *width*.
+
+    ``wrap_shape``/``row_offset``: atlas mode — wrap math at the
+    per-texture shape, rows offset into a row-concatenated atlas (see
+    get_color)."""
+    th, tw = (wrap_shape if wrap_shape is not None else bitmap.shape)[:2]
     fu = (u + 1000.5) * tw
     fv = (v + 1000.0) * tw
     u1 = jnp.floor(fu).astype(jnp.int32) % tw
     v1 = jnp.floor(fv).astype(jnp.int32) % th
     u2 = (u1 + 1) % tw
     v2 = (v1 + 1) % th
+    if row_offset is not None:
+        v1 = v1 + row_offset
+        v2 = v2 + row_offset
     fracu = fu - jnp.floor(fu)
     fracv = fv - jnp.floor(fv)
     w1 = (1 - fracu) * (1 - fracv)
@@ -305,36 +313,68 @@ def _texel(bitmap: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _prim_uv(scene: Whitted5Scene, j: int, point: jnp.ndarray):
+    """(ucoord, vcoord) [R] for textured primitive j (Sphere::GetColor
+    scene.cpp:161-176, PlanePrim::GetColor :263-277)."""
+    us = scene.uv_scale[j]
+    if scene.ptype[j] == SPHERE5:
+        rr = 1.0 / jnp.where(scene.radius[j] != 0.0, scene.radius[j], 1.0)
+        vp = (point - scene.center[j][None]) * rr
+        # vn=(0,1,0), ve=(1,0,0), vc=vn x ve=(0,0,-1) (scene.cpp:117-120)
+        cosphi = jnp.clip(-vp[:, 1], -1.0, 1.0)
+        phi = jnp.arccos(cosphi)
+        sinphi = jnp.sqrt(jnp.maximum(1.0 - cosphi * cosphi, 1e-12))
+        vcoord = phi * (1.0 / us[1]) * (1.0 / PI)
+        costheta = jnp.clip(vp[:, 0] / sinphi, -1.0, 1.0)
+        theta = jnp.arccos(costheta) * (2.0 / PI)
+        ucoord = jnp.where(-vp[:, 2] >= 0.0, (1.0 - theta), theta) * (1.0 / us[0])
+    else:  # plane mapping (boxes keep material color in the reference)
+        nrm = scene.normal[j]
+        uaxis = jnp.stack([nrm[1], nrm[2], -nrm[0]])
+        vaxis = jnp.cross(uaxis, nrm)
+        ucoord = _dot(point, uaxis[None]) * us[0]
+        vcoord = _dot(point, vaxis[None]) * us[1]
+    return ucoord, vcoord
+
+
 def get_color(scene: Whitted5Scene, idx: jnp.ndarray, point: jnp.ndarray):
     """Primitive::GetColor with texture modulation (Sphere::GetColor
-    scene.cpp:161-176, PlanePrim::GetColor :263-277)."""
-    base = scene.color[idx]
-    out = base
-    for j in range(scene.num_prims):
-        t = scene.tex_id[j]
-        if t < 0:
-            continue
-        bitmap = scene.textures[t]
-        us = scene.uv_scale[j]
-        if scene.ptype[j] == SPHERE5:
-            rr = 1.0 / jnp.where(scene.radius[j] != 0.0, scene.radius[j], 1.0)
-            vp = (point - scene.center[j][None]) * rr
-            # vn=(0,1,0), ve=(1,0,0), vc=vn x ve=(0,0,-1) (scene.cpp:117-120)
-            cosphi = jnp.clip(-vp[:, 1], -1.0, 1.0)
-            phi = jnp.arccos(cosphi)
-            sinphi = jnp.sqrt(jnp.maximum(1.0 - cosphi * cosphi, 1e-12))
-            vcoord = phi * (1.0 / us[1]) * (1.0 / PI)
-            costheta = jnp.clip(vp[:, 0] / sinphi, -1.0, 1.0)
-            theta = jnp.arccos(costheta) * (2.0 / PI)
-            ucoord = jnp.where(-vp[:, 2] >= 0.0, (1.0 - theta), theta) * (1.0 / us[0])
-            tex = _texel(bitmap, ucoord, vcoord)
-        else:  # plane mapping (boxes keep material color in the reference)
-            nrm = scene.normal[j]
-            uaxis = jnp.stack([nrm[1], nrm[2], -nrm[0]])
-            vaxis = jnp.cross(uaxis, nrm)
-            ucoord = _dot(point, uaxis[None]) * us[0]
-            vcoord = _dot(point, vaxis[None]) * us[1]
-            tex = _texel(bitmap, ucoord, vcoord)
+    scene.cpp:161-176, PlanePrim::GetColor :263-277).
+
+    Same-shaped textures collapse into ONE per-lane fetch from a
+    row-concatenated atlas with per-lane-selected uv — texture gathers
+    are the measured whitted5 bottleneck (HBM random-access latency,
+    kernels/whitted5_kernel.py), so fetch COUNT is what matters. The
+    atlas path is value-IDENTICAL to per-prim fetches (same uv floats,
+    same texels, same blend order), so goldens are unaffected."""
+    out = scene.color[idx]
+    textured = [j for j in range(scene.num_prims) if scene.tex_id[j] >= 0]
+    if not textured:
+        return out
+    shapes = {scene.textures[scene.tex_id[j]].shape for j in textured}
+    if len(shapes) == 1 and len(textured) > 1:
+        th = next(iter(shapes))[0]
+        atlas = jnp.concatenate(list(scene.textures), axis=0)
+        sel_u = jnp.zeros(point.shape[0], jnp.float32)
+        sel_v = jnp.zeros(point.shape[0], jnp.float32)
+        sel_off = jnp.zeros(point.shape[0], jnp.int32)
+        for j in textured:
+            ucoord, vcoord = _prim_uv(scene, j, point)
+            m = idx == j
+            sel_u = jnp.where(m, ucoord, sel_u)
+            sel_v = jnp.where(m, vcoord, sel_v)
+            sel_off = jnp.where(m, scene.tex_id[j] * th, sel_off)
+        tex = _texel(atlas, sel_u, sel_v, row_offset=sel_off,
+                     wrap_shape=next(iter(shapes)))
+        for j in textured:
+            out = jnp.where(
+                (idx == j)[:, None], tex * scene.color[j][None], out
+            )
+        return out
+    for j in textured:
+        bitmap = scene.textures[scene.tex_id[j]]
+        ucoord, vcoord = _prim_uv(scene, j, point)
+        tex = _texel(bitmap, ucoord, vcoord)
         out = jnp.where((idx == j)[:, None], tex * scene.color[j][None], out)
     return out
 
