@@ -162,7 +162,7 @@ def cmd_render(args) -> int:
             if args.adaptive:
                 img, frac = render_whitted5_adaptive(
                     scene5, width=args.width, height=args.height,
-                    seed=args.seed,
+                    seed=args.seed, use_pallas=args.pallas,
                 )
                 img = np.asarray(img)
                 print(

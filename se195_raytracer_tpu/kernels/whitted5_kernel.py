@@ -682,12 +682,16 @@ def whitted5_trace_pallas(
     sublanes: int = DEF_SUBLANES,
     interpret: bool = False,
     scene_tab: jnp.ndarray | None = None,
+    return_primary_idx: bool = False,
 ):
     """Drop-in fast-path twin of models/whitted5.whitted5_trace: the same
     levelwise tree, with each level's node work fused into the Pallas
     kernel and only texture gathers + color-weight combines in XLA.
     Same RNG streams; output agrees with the jnp path to float
-    reassociation. Returns (accumulated color [R, 3], advanced state).
+    reassociation. Returns (accumulated color [R, 3], advanced state),
+    plus the level-1 nearest-hit ids ([R] int32, -1 on miss) when
+    ``return_primary_idx`` — the adaptive renderer's edge mask needs
+    them and the kernel already computed them.
 
     Every inter-level value lives as COMPONENT PLANES (flat [K*R]
     vectors per x/y/z/r/g/b component), never [K*R, 3]: adjacent to the
@@ -741,6 +745,8 @@ def whitted5_trace_pallas(
         idx = out[_O_IDX].astype(jnp.int32)
         safe = jnp.maximum(idx, 0)
         hit = out[_O_HIT] > 0.5
+        if level == 1:
+            primary_idx = idx[:r]
         dist = out[_O_DIST]
         px, py, pz = out[_O_PX], out[_O_PY], out[_O_PZ]
         color = _get_color_planes(scene, safe, px, py, pz)
@@ -788,10 +794,10 @@ def whitted5_trace_pallas(
             2 * i + 2 for i in heap_ids
         ]
 
-    return (
-        jnp.stack(acc, axis=-1),
-        (key_in, ctr_in + jnp.uint32(PASS_DRAW_BUDGET)),
-    )
+    state_out = (key_in, ctr_in + jnp.uint32(PASS_DRAW_BUDGET))
+    if return_primary_idx:
+        return jnp.stack(acc, axis=-1), state_out, primary_idx
+    return jnp.stack(acc, axis=-1), state_out
 
 
 @functools.partial(

@@ -787,7 +787,7 @@ def _adaptive_primary(scene, width, height, trace_depth, seed):
 
 def _adaptive_extra(
     scene, col0, edge, sel, colrow, live_mask, state_sel,
-    width, height, trace_depth, padded,
+    width, height, trace_depth, padded, use_pallas=False,
 ):
     """Phase 2: trace the 3 extra sub-pixel rays ONLY for the compacted
     edge-pixel index set ``sel`` (padded to the static size ``padded``;
@@ -807,17 +807,27 @@ def _adaptive_extra(
     the trace graph stays free of scatter ops and the scatter blend
     compiles as its own small module."""
     extra = _adaptive_trace_extra(
-        scene, colrow, state_sel, width, height, trace_depth, padded
+        scene, colrow, state_sel, width, height, trace_depth, padded,
+        use_pallas,
     )
     return _adaptive_blend(col0, edge, sel, live_mask, extra)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "trace_depth", "padded")
+    jax.jit,
+    static_argnames=("width", "height", "trace_depth", "padded",
+                     "use_pallas"),
 )
 def _adaptive_trace_extra(
-    scene, colrow, state_sel, width, height, trace_depth, padded
+    scene, colrow, state_sel, width, height, trace_depth, padded,
+    use_pallas=False,
 ):
+    if use_pallas:
+        from se195_raytracer_tpu.kernels.whitted5_kernel import (
+            whitted5_trace_pallas as trace_fn,
+        )
+    else:
+        trace_fn = whitted5_trace
     origin, p1, dx, dy = camera_frame5(width, height)
     colx = colrow[:, 0]
     rowy = colrow[:, 1]
@@ -832,7 +842,7 @@ def _adaptive_trace_extra(
         )
         dirs = screen - o
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        c, st = whitted5_trace(scene, o, dirs, st, trace_depth)
+        c, st = trace_fn(scene, o, dirs, st, trace_depth)
         extra = extra + c
     return extra
 
@@ -850,6 +860,7 @@ def render_whitted5_adaptive(
     trace_depth: int = TRACEDEPTH5,
     seed: int = 0,
     min_bucket: int = 4096,
+    use_pallas: bool = False,
 ):
     """Adaptive 1-vs-4-ray supersampling (Engine::Render,
     raytracer.cpp:481-535), TPU-style.
@@ -863,11 +874,20 @@ def render_whitted5_adaptive(
     jitted pass traces 3 rays per edge pixel at a power-of-two padded
     size (>= min_bucket) so recompiles stay O(log max_edges).
 
+    ``use_pallas`` routes both trace phases through the fused level
+    kernels (kernels/whitted5_kernel.py) — stream-identical RNG, so the
+    edge mask and blend semantics are unchanged.
+
     Returns ([H, W, 3] float32 image, edge fraction in [0, 1]).
     """
-    col0, edge, state = _adaptive_primary(
-        scene, width, height, trace_depth, seed
-    )
+    if use_pallas:
+        col0, edge, state = _adaptive_primary_pallas(
+            scene, width, height, trace_depth, seed
+        )
+    else:
+        col0, edge, state = _adaptive_primary(
+            scene, width, height, trace_depth, seed
+        )
     edge_np = np.asarray(edge)
     sel_np = np.nonzero(edge_np)[0]
     n_edge = int(sel_np.size)
@@ -886,6 +906,27 @@ def render_whitted5_adaptive(
     )
     img = _adaptive_extra(
         scene, col0, edge, sel, colrow, live_mask, state_sel,
-        width, height, trace_depth, padded,
+        width, height, trace_depth, padded, use_pallas=use_pallas,
     )
     return img.reshape(height, width, 3), n_edge / edge_np.size
+
+
+@functools.partial(jax.jit, static_argnames=("trace_depth",))
+def _adaptive_primary_pallas_jit(scene, o, d, state, trace_depth):
+    from se195_raytracer_tpu.kernels.whitted5_kernel import (
+        whitted5_trace_pallas,
+    )
+
+    col, st, idx = whitted5_trace_pallas(
+        scene, o, d, state, trace_depth, return_primary_idx=True
+    )
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), idx[:-1]])
+    return col, idx != prev, st
+
+
+def _adaptive_primary_pallas(scene, width, height, trace_depth, seed):
+    """Phase 1 on the fused level kernels: the trace already computes the
+    level-1 nearest-hit ids, so the edge mask costs no extra sweep."""
+    o, d = camera_rays5(width, height, sub=(0.0, 0.0))
+    state = _init_state5_np(o.shape[0], seed)
+    return _adaptive_primary_pallas_jit(scene, o, d, state, trace_depth)
