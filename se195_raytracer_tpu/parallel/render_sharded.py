@@ -273,6 +273,8 @@ def render_whitted5_sharded(
     trace_depth: int | None = None,
     seed: int = 0,
     mesh=None,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """raytracer5-family frame with the ray axis sharded over ``mesh``.
 
@@ -314,15 +316,32 @@ def render_whitted5_sharded(
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
+    if use_pallas:
+        from se195_raytracer_tpu.kernels.whitted5_kernel import (
+            whitted5_trace_pallas,
+        )
+
+        def trace_fn(sc, o, d, st):
+            return whitted5_trace_pallas(
+                sc, o, d, st, trace_depth, interpret=interpret
+            )
+    else:
+        def trace_fn(sc, o, d, st):
+            return whitted5_trace(sc, o, d, st, trace_depth)
+
     def shard_body(sc, o, d, s0, s1):
         # Structurally IDENTICAL to models/whitted5._whitted5_frame (same
         # lax.scan accumulate, same final division): matching the program
         # structure keeps XLA's fusion/FMA rounding decisions identical,
         # which bitwise shard-invariance requires — a python-unrolled spp
         # loop here produced ~1e-4-level drift vs the single-device frame.
+        # ``use_pallas`` swaps in the fused level kernels: each device
+        # runs the same per-tile kernel program on its shard with
+        # absolute-id RNG keys, so shard outputs match the single-device
+        # kernel render the same way.
         def body(carry, _):
             st, acc = carry
-            col, st = whitted5_trace(sc, o, d, st, trace_depth)
+            col, st = trace_fn(sc, o, d, st)
             return (st, acc + col), None
 
         init = ((s0, s1), jnp.zeros((o.shape[0], 3)))

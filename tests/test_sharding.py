@@ -168,3 +168,31 @@ def test_whitted5_sharded_invariant(mesh):
     np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-6)
     exact = float((sharded == single).mean())
     assert exact > 0.99, f"only {exact:.3f} of elements bit-equal"
+
+
+def test_whitted5_kernel_sharded_invariant(mesh):
+    """The whitted5 fused level kernels under shard_map (interpret mode
+    on the CPU mesh): each device runs the identical per-tile kernel
+    program on its shard with absolute-id RNG keys, so output matches
+    the single-device kernel render to 1 ulp (same gate shape as the
+    jnp-path test above)."""
+    from se195_raytracer_tpu.kernels.whitted5_kernel import (
+        render_whitted5_pallas,
+    )
+    from se195_raytracer_tpu.parallel.render_sharded import (
+        render_whitted5_sharded,
+    )
+    from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
+
+    scene = room5_scene()
+    w, h, seed = 32, 24, 5
+    single = np.asarray(
+        render_whitted5_pallas(scene, width=w, height=h, spp=1, seed=seed,
+                               interpret=True)
+    )
+    sharded = np.asarray(
+        render_whitted5_sharded(scene, width=w, height=h, spp=1, seed=seed,
+                                mesh=mesh, use_pallas=True, interpret=True)
+    )
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-6)
+    assert float((sharded == single).mean()) > 0.99
