@@ -49,7 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 from se195_raytracer_tpu.core.types import EPSILON, Scene
 
 LANES = 128
-DEF_SUBLANES = 16  # 16 x 128 = 2048 rays per tile
+# 16 x 128 = 2048 rays per tile: measured best on a v5e (r4 sweep,
+# cornell 512^2 marginal rate: 920 Mrays/s @16 vs 895 @32 and 203 @8 —
+# smaller tiles pay grid overhead, larger ones gain nothing).
+DEF_SUBLANES = 16
 # Above this the per-sphere unroll bloats compile time; switch to the
 # fori_loop kernel (scene indexed dynamically from SMEM).
 UNROLL_MAX_SPHERES = 96
