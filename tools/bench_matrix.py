@@ -182,6 +182,50 @@ def main():
             results.append(row)
             print(json.dumps(results[-1]), flush=True)
 
+    # Marginal-rate rows (the noise-robust metric: slope between a small
+    # and a large spp run, so the ~0.1-0.4 s tunnel sync drops out of the
+    # numerator — bench.py methodology). These carry the claims the e2e
+    # rows are too sync-noisy to support (e.g. DL > PT via the per-tile
+    # early exit).
+    for name, scene_name, integ, lo, hi in [
+        ("cornell_512x512_pt_marginal", "cornell", "pt", 8, 264),
+        ("cornell_512x512_dl_marginal", "cornell", "dl", 8, 264),
+        ("complex783_512x512_pt_marginal", "complex", "pt", 8, 72),
+    ]:
+        spec = get_scene(scene_name)
+        scene, cam = spec.to_scene(), spec.to_camera()
+
+        def timed_spp(spp, scene=scene, cam=cam, integ=integ):
+            import numpy as np
+            cfg = RenderConfig(width=512 // s, height=512 // s, spp=spp,
+                               integrator=integ, use_pallas=True)
+            img, st = render(scene, cam, cfg)
+            np.asarray(img)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                img, st = render(scene, cam, cfg, state=st)
+                np.asarray(img)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        base = {"config": name, "n_spheres": scene.num_spheres,
+                "spp_lo": lo, "spp_hi": hi, "pallas": True}
+        try:
+            tl, th = timed_spp(lo), timed_spp(hi)
+        except Exception as e:  # noqa: BLE001
+            base["error"] = str(e).splitlines()[0][:160]
+            results.append(base)
+            print(json.dumps(results[-1]), flush=True)
+            continue
+        marg = (512 // s) ** 2 * (hi - lo) / max(th - tl, 1e-9)
+        results.append({
+            **base,
+            "elapsed_lo_s": round(tl, 4), "elapsed_hi_s": round(th, 4),
+            "marginal_rays_per_sec": round(marg, 1),
+        })
+        print(json.dumps(results[-1]), flush=True)
+
     summary = {
         "device": str(jax.devices()[0]),
         "results": results,
