@@ -244,3 +244,69 @@ def test_soft_edges_approaches_hard_far_from_silhouettes():
     # the silhouette bands are thin: the overwhelming majority of pixels
     # must be (near-)identical between the two estimators
     assert close.mean() > 0.93, float(close.mean())
+
+
+def test_soft_transmittance_semantics():
+    """Unit semantics of the relaxed shadow transmittance: ~1 for a
+    clear segment, ~0 through a deep occluder, excludes the per-lane
+    originating sphere and the static target light."""
+    from se195_raytracer_tpu.models.smallpt import _soft_transmittance
+    from se195_raytracer_tpu.scenes.registry import get_scene
+
+    spec = get_scene("cornell")
+    scene = spec.to_scene()
+    w = 0.5
+    # A segment through the middle of the glass sphere (id 7) vs one in
+    # open space near the box center.
+    c7 = np.asarray(scene.center[7])
+    o = jnp.asarray(np.stack([
+        c7 + np.array([-30.0, 0.0, 0.0], np.float32),
+        np.array([50.0, 40.0, 100.0], np.float32),
+    ]))
+    d = jnp.asarray(np.array([[1.0, 0, 0], [0, 0, 1.0]], np.float32))
+    # maxt 50: far enough to cross the glass sphere (entry ~13.5, exit
+    # ~46.5) but short of the right wall surface at x=99 (t ~56).
+    maxt = jnp.asarray(np.array([50.0, 5.0], np.float32))
+    hid = jnp.asarray(np.array([0, 0], np.int32))
+    li = int(scene.light_indices[0])
+    T = np.asarray(_soft_transmittance(scene, o, d, maxt, hid, li, w))
+    assert T[0] < 0.05, T  # deep through the glass sphere: occluded
+    assert T[1] > 0.6, T  # short open segment: mostly clear
+
+    # Excluding the occluder as the origin sphere clears the occlusion.
+    hid2 = jnp.asarray(np.array([7, 0], np.int32))
+    T2 = np.asarray(_soft_transmittance(scene, o, d, maxt, hid2, li, w))
+    assert T2[0] > 0.6, T2
+
+
+def test_soft_light_weight_semantics():
+    """g ~ 1 for a ray straight into the light ahead of the winner,
+    ~0 for a ray pointing away; smooth (finite grad) in the center."""
+    from se195_raytracer_tpu.models.smallpt import _soft_light_weight
+    from se195_raytracer_tpu.scenes.registry import get_scene
+
+    spec = get_scene("cornell")
+    scene = spec.to_scene()
+    li = int(scene.light_indices[0])
+    c = np.asarray(scene.center[li])
+    o = jnp.asarray(np.stack([
+        np.array([50.0, 40.0, 81.6], np.float32),
+        np.array([50.0, 40.0, 81.6], np.float32),
+    ]))
+    toward = c - np.asarray(o[0])
+    toward = toward / np.linalg.norm(toward)
+    d = jnp.asarray(np.stack([toward, -toward]).astype(np.float32))
+    t_excl = jnp.asarray(np.array([1e4, 1e4], np.float32))
+    g, adp = _soft_light_weight(scene, li, o, d, t_excl, 0.5)
+    g = np.asarray(g)
+    assert g[0] > 0.95, g
+    assert g[1] < 0.05, g
+
+    def gsum(center):
+        gg, _ = _soft_light_weight(
+            scene.replace(center=center), li, o, d, t_excl, 0.5
+        )
+        return jnp.sum(gg)
+
+    grad = np.asarray(jax.grad(gsum)(scene.center))
+    assert np.isfinite(grad).all()
