@@ -787,7 +787,7 @@ def _adaptive_primary(scene, width, height, trace_depth, seed):
 
 def _adaptive_extra(
     scene, col0, edge, sel, colrow, live_mask, state_sel,
-    width, height, trace_depth, padded, use_pallas=False,
+    width, height, trace_depth, padded, use_pallas=False, interpret=False,
 ):
     """Phase 2: trace the 3 extra sub-pixel rays ONLY for the compacted
     edge-pixel index set ``sel`` (padded to the static size ``padded``;
@@ -808,7 +808,7 @@ def _adaptive_extra(
     compiles as its own small module."""
     extra = _adaptive_trace_extra(
         scene, colrow, state_sel, width, height, trace_depth, padded,
-        use_pallas,
+        use_pallas, interpret,
     )
     return _adaptive_blend(col0, edge, sel, live_mask, extra)
 
@@ -816,16 +816,20 @@ def _adaptive_extra(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "trace_depth", "padded",
-                     "use_pallas"),
+                     "use_pallas", "interpret"),
 )
 def _adaptive_trace_extra(
     scene, colrow, state_sel, width, height, trace_depth, padded,
-    use_pallas=False,
+    use_pallas=False, interpret=False,
 ):
     if use_pallas:
+        import functools as _ft
+
         from se195_raytracer_tpu.kernels.whitted5_kernel import (
-            whitted5_trace_pallas as trace_fn,
+            whitted5_trace_pallas,
         )
+
+        trace_fn = _ft.partial(whitted5_trace_pallas, interpret=interpret)
     else:
         trace_fn = whitted5_trace
     origin, p1, dx, dy = camera_frame5(width, height)
@@ -861,6 +865,7 @@ def render_whitted5_adaptive(
     seed: int = 0,
     min_bucket: int = 4096,
     use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Adaptive 1-vs-4-ray supersampling (Engine::Render,
     raytracer.cpp:481-535), TPU-style.
@@ -882,7 +887,7 @@ def render_whitted5_adaptive(
     """
     if use_pallas:
         col0, edge, state = _adaptive_primary_pallas(
-            scene, width, height, trace_depth, seed
+            scene, width, height, trace_depth, seed, interpret
         )
     else:
         col0, edge, state = _adaptive_primary(
@@ -907,26 +912,31 @@ def render_whitted5_adaptive(
     img = _adaptive_extra(
         scene, col0, edge, sel, colrow, live_mask, state_sel,
         width, height, trace_depth, padded, use_pallas=use_pallas,
+        interpret=interpret,
     )
     return img.reshape(height, width, 3), n_edge / edge_np.size
 
 
-@functools.partial(jax.jit, static_argnames=("trace_depth",))
-def _adaptive_primary_pallas_jit(scene, o, d, state, trace_depth):
+@functools.partial(jax.jit, static_argnames=("trace_depth", "interpret"))
+def _adaptive_primary_pallas_jit(scene, o, d, state, trace_depth,
+                                 interpret=False):
     from se195_raytracer_tpu.kernels.whitted5_kernel import (
         whitted5_trace_pallas,
     )
 
     col, st, idx = whitted5_trace_pallas(
-        scene, o, d, state, trace_depth, return_primary_idx=True
+        scene, o, d, state, trace_depth, return_primary_idx=True,
+        interpret=interpret,
     )
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), idx[:-1]])
     return col, idx != prev, st
 
 
-def _adaptive_primary_pallas(scene, width, height, trace_depth, seed):
+def _adaptive_primary_pallas(scene, width, height, trace_depth, seed,
+                             interpret=False):
     """Phase 1 on the fused level kernels: the trace already computes the
     level-1 nearest-hit ids, so the edge mask costs no extra sweep."""
     o, d = camera_rays5(width, height, sub=(0.0, 0.0))
     state = _init_state5_np(o.shape[0], seed)
-    return _adaptive_primary_pallas_jit(scene, o, d, state, trace_depth)
+    return _adaptive_primary_pallas_jit(scene, o, d, state, trace_depth,
+                                        interpret)

@@ -97,3 +97,19 @@ def test_scene_table_layout():
     np.testing.assert_allclose(tab[14:17].T, np.asarray(scene.color))
     # degenerate zero-radius sphere (prim 3) gets a guarded 1/r of 1.0
     assert tab[26, 3] == 1.0
+
+
+def test_adaptive_pallas_matches_jnp_adaptive():
+    """render_whitted5_adaptive(use_pallas=True) consumes the identical
+    RNG streams as the jnp adaptive path: same edge mask, frames within
+    reassociation tolerance (interpret mode on CPU)."""
+    from se195_raytracer_tpu.models.whitted5 import (
+        render_whitted5_adaptive,
+    )
+
+    scene = room5_scene()
+    a, fa = render_whitted5_adaptive(scene, width=40, height=30, seed=3)
+    b, fb = render_whitted5_adaptive(scene, width=40, height=30, seed=3,
+                                     use_pallas=True, interpret=True)
+    assert fa == fb
+    _robust_close(a, b, "adaptive pallas 40x30")
