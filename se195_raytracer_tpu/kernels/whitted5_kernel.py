@@ -622,6 +622,59 @@ def _prim_uv_planes(scene: Whitted5Scene, j: int, px, py, pz):
     return ucoord, vcoord
 
 
+def _get_color_planes_mxu(scene: Whitted5Scene, tabs, idx, px, py, pz,
+                          live, interpret=False):
+    """models/whitted5.get_color on component planes via the MXU texel
+    unit (kernels/texel_kernel.py): the four bilinear gathers collapse
+    into one-hot matmuls against the VMEM-resident atlas tables — the
+    XLA gather path caps the whole family at ~40 M fetch/s while the
+    MXU unit measured 98-225 M fetch/s (r5, dead-row skipping).
+
+    ``live`` marks lanes whose color can matter (valid & hit); dead
+    lanes and lanes hitting untextured primitives return the plain
+    material color (their texel is skipped/zero — downstream masking
+    already ignores them, matching _get_color_planes' garbage-lane
+    contract). Values on textured live lanes are bit-identical to the
+    jnp path for bf16-exact (u8/256) textures."""
+    from se195_raytracer_tpu.kernels.texel_kernel import texel_fetch_mxu
+
+    col_t = [scene.color[:, c] for c in range(3)]
+    out = [col_t[c][idx] for c in range(3)]
+    textured = [j for j in range(scene.num_prims) if scene.tex_id[j] >= 0]
+    tw, th = tabs.tw, tabs.tex_h
+
+    sel_u = jnp.zeros_like(px)
+    sel_v = jnp.zeros_like(px)
+    sel_off = jnp.zeros_like(idx)
+    tex_lane = jnp.zeros_like(px, dtype=bool)
+    for j in textured:
+        ucoord, vcoord = _prim_uv_planes(scene, j, px, py, pz)
+        m = idx == j
+        sel_u = jnp.where(m, ucoord, sel_u)
+        sel_v = jnp.where(m, vcoord, sel_v)
+        sel_off = jnp.where(m, scene.tex_id[j] * th, sel_off)
+        tex_lane = tex_lane | m
+
+    # GetTexel index math (scene.cpp:87-99, incl. the width-for-height
+    # quirk) — same arithmetic as _texel_planes.
+    fu = (sel_u + 1000.5) * tw
+    fv = (sel_v + 1000.0) * tw
+    u1 = jnp.floor(fu).astype(jnp.int32) % tw
+    v1 = jnp.floor(fv).astype(jnp.int32) % th
+    fracu = fu - jnp.floor(fu)
+    fracv = fv - jnp.floor(fv)
+    tex = texel_fetch_mxu(
+        (tabs.hi, tabs.lo, not tabs.has_lo),
+        v1 + sel_off, u1, fracu, fracv, live & tex_lane,
+        tw=tw, interpret=interpret,
+    )
+    for j in textured:
+        sel = idx == j
+        for c in range(3):
+            out[c] = jnp.where(sel, tex[c] * scene.color[j, c], out[c])
+    return tuple(out)
+
+
 def _get_color_planes(scene: Whitted5Scene, idx, px, py, pz):
     """models/whitted5.get_color on component planes: (cr, cg, cb) [R]
     with texture modulation (same per-channel values).
@@ -683,6 +736,7 @@ def whitted5_trace_pallas(
     interpret: bool = False,
     scene_tab: jnp.ndarray | None = None,
     return_primary_idx: bool = False,
+    texel_tabs=None,
 ):
     """Drop-in fast-path twin of models/whitted5.whitted5_trace: the same
     levelwise tree, with each level's node work fused into the Pallas
@@ -749,9 +803,14 @@ def whitted5_trace_pallas(
             primary_idx = idx[:r]
         dist = out[_O_DIST]
         px, py, pz = out[_O_PX], out[_O_PY], out[_O_PZ]
-        color = _get_color_planes(scene, safe, px, py, pz)
-
         vh = valid & hit
+        if texel_tabs is not None:
+            color = _get_color_planes_mxu(
+                scene, texel_tabs, safe, px, py, pz, vh, interpret=interpret
+            )
+        else:
+            color = _get_color_planes(scene, safe, px, py, pz)
+
         w_eff = []
         for c in range(3):
             w_eff.append(weight[c] * jnp.exp(beer[c] * (-dist)))
@@ -814,6 +873,7 @@ def _whitted5_frame_pallas(
     height: int,
     width: int,
     interpret: bool = False,
+    texel_tabs=None,
 ) -> jnp.ndarray:
     """Fast-path twin of models/whitted5._whitted5_frame: lax.scan over
     spp passes of whitted5_trace_pallas, one device dispatch."""
@@ -823,7 +883,7 @@ def _whitted5_frame_pallas(
         st, acc = carry
         col, st = whitted5_trace_pallas(
             scene, o, d, st, trace_depth, interpret=interpret,
-            scene_tab=scene_tab,
+            scene_tab=scene_tab, texel_tabs=texel_tabs,
         )
         return (st, acc + col), None
 
@@ -840,10 +900,13 @@ def render_whitted5_pallas(
     trace_depth: int = TRACEDEPTH5,
     seed: int = 0,
     interpret: bool = False,
+    use_mxu_texels: bool = True,
 ) -> jnp.ndarray:
     """Full-frame whitted5 render on the fused level kernels — same
     estimator and RNG streams as models/whitted5.render_whitted5.
-    Returns [H, W, 3] float32 linear radiance."""
+    Returns [H, W, 3] float32 linear radiance. Texture fetches ride the
+    MXU texel unit (kernels/texel_kernel.py) unless disabled."""
+    from se195_raytracer_tpu.kernels.texel_kernel import prepare_texel_tables
     from se195_raytracer_tpu.models.whitted5 import (
         _init_state5_np,
         camera_rays5,
@@ -851,7 +914,8 @@ def render_whitted5_pallas(
 
     o, d = camera_rays5(width, height)
     state = _init_state5_np(o.shape[0], seed)
+    tabs = prepare_texel_tables(scene) if use_mxu_texels else None
     return _whitted5_frame_pallas(
         scene, o, d, state, spp=spp, trace_depth=trace_depth,
-        height=height, width=width, interpret=interpret,
+        height=height, width=width, interpret=interpret, texel_tabs=tabs,
     )

@@ -788,6 +788,7 @@ def _adaptive_primary(scene, width, height, trace_depth, seed):
 def _adaptive_extra(
     scene, col0, edge, sel, colrow, live_mask, state_sel,
     width, height, trace_depth, padded, use_pallas=False, interpret=False,
+    texel_tabs=None,
 ):
     """Phase 2: trace the 3 extra sub-pixel rays ONLY for the compacted
     edge-pixel index set ``sel`` (padded to the static size ``padded``;
@@ -808,7 +809,7 @@ def _adaptive_extra(
     compiles as its own small module."""
     extra = _adaptive_trace_extra(
         scene, colrow, state_sel, width, height, trace_depth, padded,
-        use_pallas, interpret,
+        use_pallas, interpret, texel_tabs,
     )
     return _adaptive_blend(col0, edge, sel, live_mask, extra)
 
@@ -820,7 +821,7 @@ def _adaptive_extra(
 )
 def _adaptive_trace_extra(
     scene, colrow, state_sel, width, height, trace_depth, padded,
-    use_pallas=False, interpret=False,
+    use_pallas=False, interpret=False, texel_tabs=None,
 ):
     if use_pallas:
         import functools as _ft
@@ -829,7 +830,8 @@ def _adaptive_trace_extra(
             whitted5_trace_pallas,
         )
 
-        trace_fn = _ft.partial(whitted5_trace_pallas, interpret=interpret)
+        trace_fn = _ft.partial(whitted5_trace_pallas, interpret=interpret,
+                               texel_tabs=texel_tabs)
     else:
         trace_fn = whitted5_trace
     origin, p1, dx, dy = camera_frame5(width, height)
@@ -885,9 +887,15 @@ def render_whitted5_adaptive(
 
     Returns ([H, W, 3] float32 image, edge fraction in [0, 1]).
     """
+    texel_tabs = None
     if use_pallas:
+        from se195_raytracer_tpu.kernels.texel_kernel import (
+            prepare_texel_tables,
+        )
+
+        texel_tabs = prepare_texel_tables(scene)
         col0, edge, state = _adaptive_primary_pallas(
-            scene, width, height, trace_depth, seed, interpret
+            scene, width, height, trace_depth, seed, interpret, texel_tabs
         )
     else:
         col0, edge, state = _adaptive_primary(
@@ -912,31 +920,31 @@ def render_whitted5_adaptive(
     img = _adaptive_extra(
         scene, col0, edge, sel, colrow, live_mask, state_sel,
         width, height, trace_depth, padded, use_pallas=use_pallas,
-        interpret=interpret,
+        interpret=interpret, texel_tabs=texel_tabs,
     )
     return img.reshape(height, width, 3), n_edge / edge_np.size
 
 
 @functools.partial(jax.jit, static_argnames=("trace_depth", "interpret"))
 def _adaptive_primary_pallas_jit(scene, o, d, state, trace_depth,
-                                 interpret=False):
+                                 interpret=False, texel_tabs=None):
     from se195_raytracer_tpu.kernels.whitted5_kernel import (
         whitted5_trace_pallas,
     )
 
     col, st, idx = whitted5_trace_pallas(
         scene, o, d, state, trace_depth, return_primary_idx=True,
-        interpret=interpret,
+        interpret=interpret, texel_tabs=texel_tabs,
     )
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), idx[:-1]])
     return col, idx != prev, st
 
 
 def _adaptive_primary_pallas(scene, width, height, trace_depth, seed,
-                             interpret=False):
+                             interpret=False, texel_tabs=None):
     """Phase 1 on the fused level kernels: the trace already computes the
     level-1 nearest-hit ids, so the edge mask costs no extra sweep."""
     o, d = camera_rays5(width, height, sub=(0.0, 0.0))
     state = _init_state5_np(o.shape[0], seed)
     return _adaptive_primary_pallas_jit(scene, o, d, state, trace_depth,
-                                        interpret)
+                                        interpret, texel_tabs)
