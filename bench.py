@@ -5,14 +5,17 @@ Metric (BASELINE.json): rays/sec/chip at Cornell 512x512 8 spp, where a
 samples/sec caption metric (smallptGPU.cpp:777-781: samples*W*H/elapsed).
 Bounce rays are not counted — same convention as the reference.
 
-Measurement methodology (r4 — replaces the r3 slope-in-the-noise):
+Measurement methodology (r5 — replaces r4's two-point slope, whose
+committed spread was 2x):
 * ``value`` is the e2e rate of the literal 8-spp workload including the
   fixed per-dispatch tunnel sync, median of ``REPS`` runs (spread
   reported). This is the number a user of the 8-spp config observes.
-* ``value_marginal`` is the sustained progressive rate: the slope
-  between an 8-spp and a (8+512)-spp run, so the numerator is SECONDS
-  of extra device work, not milliseconds — the fixed ~0.1-0.2 s sync
-  cannot dominate it. Median of REPS slopes; per-rep spread reported.
+* ``value_marginal`` is the sustained progressive rate from a
+  LEAST-SQUARES fit of median elapsed vs spp over SPP_GRID
+  {8, 136, 264, 520}: t = a + b*spp, marginal = W*H/b. The intercept
+  absorbs the fixed sync; four points + R^2 expose nonlinearity or a
+  bad rep instead of hiding them in a two-point slope. Per-rep fits
+  (pairing each point's k-th order statistic) give the spread.
 * A VPU flop-budget ceiling is computed from the scene (ops/ray x
   assumed 4e12 f32 op/s VPU peak) and the marginal rate is asserted
   physically possible against it. The r3 "2.29 Grays/s" violated this
@@ -33,7 +36,7 @@ import time
 import numpy as np
 
 REPS = 5
-SPP_LO, SPP_HI = 8, 520  # slope numerator is ~seconds of device work
+SPP_GRID = (8, 136, 264, 520)  # least-squares fit axis (r5)
 VPU_F32_OPS = 4.0e12  # assumed v5e VPU f32 peak (8x128 lanes, ~4 ops/cyc)
 # Fallback only (see module docstring): JAX-CPU Cornell rays/s measured
 # 2026-08-21 on this 2-core host via tools/measure_cpu_baseline.py.
@@ -102,17 +105,30 @@ def main():
             times.append(time.perf_counter() - t0)
         return times
 
-    t_lo = timed(SPP_LO)
-    t_hi = timed(SPP_HI)
-    lo_med = float(np.median(t_lo))
-    hi_med = float(np.median(t_hi))
-    # Per-rep slopes (paired in measurement order) for the spread.
-    slopes = [
-        w * h * (SPP_HI - SPP_LO) / max(b - a, 1e-9)
-        for a, b in zip(sorted(t_lo), sorted(t_hi))
-    ]
-    marginal = w * h * (SPP_HI - SPP_LO) / max(hi_med - lo_med, 1e-9)
-    e2e = w * h * SPP_LO / lo_med
+    times = {spp: timed(spp) for spp in SPP_GRID}
+    meds = np.array([float(np.median(times[s])) for s in SPP_GRID])
+    grid = np.array(SPP_GRID, np.float64)
+
+    def fit(ys):
+        """OLS t = a + b*spp; returns (b, r2)."""
+        b, a = np.polyfit(grid, ys, 1)
+        pred = a + b * grid
+        ss_res = float(((ys - pred) ** 2).sum())
+        ss_tot = float(((ys - ys.mean()) ** 2).sum())
+        return float(b), 1.0 - ss_res / max(ss_tot, 1e-30)
+
+    slope, r2 = fit(meds)
+    marginal = w * h / max(slope, 1e-12)
+    # Per-rep fits (k-th order statistic at every grid point) -> spread.
+    rep_slopes = []
+    for k in range(REPS):
+        ys = np.array([sorted(times[s])[k] for s in SPP_GRID])
+        bk, _ = fit(ys)
+        rep_slopes.append(w * h / max(bk, 1e-12))
+    lo_med = meds[0]
+    e2e = w * h * SPP_GRID[0] / lo_med
+    t_lo = times[SPP_GRID[0]]
+    hi_med = meds[-1]
 
     # Physicality ceiling: the Pallas PT path is VPU-bound f32 vector
     # work; rays/s cannot exceed VPU peak / ops-per-ray.
@@ -137,12 +153,16 @@ def main():
                 "e2e_spread_s": [round(min(t_lo), 4), round(max(t_lo), 4)],
                 "value_marginal": round(marginal, 1),
                 "marginal_spread": [
-                    round(min(slopes), 1), round(max(slopes), 1)
+                    round(min(rep_slopes), 1), round(max(rep_slopes), 1)
                 ],
+                "marginal_fit_r2": round(r2, 5),
+                "marginal_fit_points": {
+                    str(s): round(float(np.median(times[s])), 4)
+                    for s in SPP_GRID
+                },
                 "marginal_vs_baseline": round(marginal / cpu_rays, 3),
-                "elapsed_lo_s": round(lo_med, 4),
-                "elapsed_hi_s": round(hi_med, 4),
-                "spp_delta": SPP_HI - SPP_LO,
+                "elapsed_lo_s": round(float(lo_med), 4),
+                "elapsed_hi_s": round(float(hi_med), 4),
                 "vpu_ceiling_rays_per_sec": round(ceiling, 1),
                 "vpu_utilization_pct_of_ceiling": round(
                     100.0 * marginal / ceiling, 1

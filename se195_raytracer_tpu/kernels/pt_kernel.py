@@ -38,6 +38,7 @@ size and compile time O(1) in scene size.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Tuple
 
 import jax
@@ -52,25 +53,30 @@ LANES = 128
 # 16 x 128 = 2048 rays per tile: measured best on a v5e (r4 sweep,
 # cornell 512^2 marginal rate: 920 Mrays/s @16 vs 895 @32 and 203 @8 —
 # smaller tiles pay grid overhead, larger ones gain nothing).
-DEF_SUBLANES = 16
+DEF_SUBLANES = int(_os.environ.get("SE195_PT_SUBLANES", "16"))
 # Above this the per-sphere unroll bloats compile time; switch to the
 # fori_loop kernel (scene indexed dynamically from SMEM).
 UNROLL_MAX_SPHERES = 96
 # Spheres per fori_loop iteration in the large-scene kernel: the loop
 # body unrolls this many spheres so loop control and carry traffic
 # amortize, while compile time stays O(1) in scene size.
-SPHERE_BLOCK = 16
+SPHERE_BLOCK = int(_os.environ.get("SE195_PT_BLOCK", "16"))
 # Tile-level block culling in the large-scene kernel (see block_bounds).
-# DEFAULT OFF: measured on a real v5e (r4, marginal-rate A/B on
-# complex783 512x512), the per-block lax.cond costs more than the
-# skipped sweeps save — 9.2 Mrays/s culled vs 11.9 uncull'd. Viewed from
-# inside, the fractal's subtree bounds cover most tiles, and the cond
-# disrupts Mosaic's software pipelining of the blocked sweep. Kept
-# env-gated (SE195_PT_CULL=1) with bit-identical output for workloads
-# where tiles actually miss whole subtrees (e.g. sparse fly-bys).
-import os as _os
-
-CULL_BLOCKS = _os.environ.get("SE195_PT_CULL", "0") == "1"
+# r4 tried a per-block lax.cond INSIDE the sweep and lost 23% (the cond
+# broke Mosaic's software pipelining; row-major [16,128] tiles span 4
+# full image rows, whose wide frustum kept ~23% of subtree bounds
+# possible anyway). r5 replaces the mechanism and the geometry:
+# * rays are REMAPPED so each tile is a near-square image block (64x32
+#   at sublanes=16), measured 10.5% primary-bounce block survival vs
+#   23% for row strips (tools/profile_complex.py predictor);
+# * each sweep first evaluates all block bounds (one ~14-op vector test
+#   + reduce per block, ~4% of a full sweep), compacts the surviving
+#   block ids into an SMEM list, then runs a fori_loop over JUST that
+#   list — no cond in the hot loop, so pipelining is undisturbed.
+# Output stays bit-identical: bounds are conservatively inflated and
+# the compacted list preserves the descending-index sweep order.
+# SE195_PT_CULL=0 disables (full sweeps, same remapped layout).
+CULL_BLOCKS = _os.environ.get("SE195_PT_CULL", "1") != "0"
 # Per-bounce whole-tile early exit (SE195_PT_EARLYEXIT=0 disables;
 # depth 0 always runs). Measured neutral for cornell PT (within tunnel
 # noise around ~300 Mrays/s marginal) and clearly right for DL, whose
@@ -200,16 +206,15 @@ def _make_kernel(
     rng_next, rng_masked = _make_rng(rng)
     eps = float(np.float32(EPSILON))  # python scalar: jnp consts can't be closure-captured by kernels
 
-    def kernel(samp_ref, off_ref, scene_ref, *rest):
+    def kernel(samp_ref, scene_ref, *rest):
         if loop_scene:
-            (bounds_ref, cam_ref, s0_ref, s1_ref, acc_ref,
-             s0_out, s1_out, acc_out) = rest
+            (bounds_ref, cam_ref, pix_ref, s0_ref, s1_ref, acc_ref,
+             s0_out, s1_out, acc_out, list_ref, cnt_ref) = rest
         else:
-            bounds_ref = None
-            (cam_ref, s0_ref, s1_ref, acc_ref,
+            bounds_ref = list_ref = cnt_ref = None
+            (cam_ref, pix_ref, s0_ref, s1_ref, acc_ref,
              s0_out, s1_out, acc_out) = rest
         shape = (sublanes, LANES)
-        g = pl.program_id(0)
 
         def sc(f, j):
             return scene_ref[f, j]
@@ -235,16 +240,14 @@ def _make_kernel(
         # Pixel coordinates (reference gid -> (x, y), rendering_kernel.cl:60-63
         # with the framebuffer v-flip folded in: row r maps to camera
         # y = height-1-r; see driver/render.py).
-        # off_ref: absolute pixel id of this shard's first ray — nonzero
-        # under shard_map so every device draws the same jittered ray for
-        # a given pixel as a single-device render would (SURVEY.md §7
-        # hard part 6: shard-invariant RNG/pixel keying).
-        lin = (
-            off_ref[0, 0]
-            + g * tile
-            + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        )
+        # pix_ref: ABSOLUTE pixel id per lane, provided by the driver —
+        # identity order for small scenes, near-square-block tile order
+        # for loop scenes (ray_layout; tight tile frustums are what make
+        # the block cull effective). Absolute ids also make RNG/pixel
+        # keying shard-invariant under shard_map (SURVEY.md §7 hard
+        # part 6) — each device's slice of the table carries its own
+        # bases, no offset scalar needed.
+        lin = pix_ref[:]
         px = lin % width
         prow = lin // width
         py = (height - 1) - prow
@@ -311,41 +314,7 @@ def _make_kernel(
                 zero for _ in ATTR_ROWS
             )
             if loop_scene:
-                # Blocked sweep: fori_loop over blocks of SPHERE_BLOCK
-                # python-unrolled spheres. A per-sphere fori_loop pays
-                # loop control + carry traffic once per sphere (~4x
-                # measured slowdown vs the unrolled kernel's per-op
-                # efficiency); blocking amortizes both by SPHERE_BLOCK
-                # while keeping code size O(1) in scene size. Iteration
-                # stays descending N-1..0 (strict < tie-break,
-                # geomfunc.h:82-89): the remainder block runs first.
-                # Each block's 16-sphere sweep is culled behind its
-                # bounding-sphere test (``block_possible``) — one ~12-op
-                # vector test + scalar reduce skips ~240 ops whenever
-                # the whole tile misses the fractal subtree.
-                nb = n_spheres // SPHERE_BLOCK
-                rem = n_spheres - nb * SPHERE_BLOCK
-                carry = init
-                for j in range(n_spheres - 1, n_spheres - rem - 1, -1):
-                    carry = step(j, carry)
-                top = n_spheres - rem - 1
-
-                def block(i, c):
-                    base = top - i * SPHERE_BLOCK
-
-                    def run(c):
-                        for k in range(SPHERE_BLOCK):
-                            c = step(base - k, c)
-                        return c
-
-                    if not CULL_BLOCKS:
-                        return run(c)
-                    return jax.lax.cond(
-                        block_possible(nb - 1 - i, ox, oy, oz, dx, dy, dz),
-                        run, lambda c: c, c,
-                    )
-
-                carry = jax.lax.fori_loop(0, nb, block, carry)
+                carry = _culled_sweep(step, init, ox, oy, oz, dx, dy, dz)
             else:
                 carry = init
                 for j in range(n_spheres - 1, -1, -1):
@@ -353,39 +322,68 @@ def _make_kernel(
             t_best = carry[0]
             return t_best, t_best < 1e20, carry[1:]
 
+        def _culled_sweep(step, init, ox, oy, oz, dx, dy, dz):
+            """Blocked large-scene sweep: fori_loop over blocks of
+            SPHERE_BLOCK python-unrolled spheres (loop control and carry
+            traffic amortize over the block; code size stays O(1) in
+            scene size). Iteration is descending N-1..0 (strict <
+            tie-break, geomfunc.h:82-89): the remainder block runs
+            first.
+
+            With CULL_BLOCKS, the sweep first tests every block's
+            conservative bounding sphere against THIS sweep's actual
+            rays (primary, bounce or shadow — whatever (o, d) holds),
+            compacts the surviving block ids into the SMEM ``list_ref``
+            in descending order, and runs the fori_loop over just that
+            list — the hot loop body is unconditional (r4's per-block
+            lax.cond broke pipelining and lost 23%), and skipped blocks
+            contain no true hits, so the fold is bit-identical."""
+            nb = n_spheres // SPHERE_BLOCK
+            rem = n_spheres - nb * SPHERE_BLOCK
+            carry = init
+            for j in range(n_spheres - 1, n_spheres - rem - 1, -1):
+                carry = step(j, carry)
+
+            if CULL_BLOCKS:
+                cnt_ref[0] = 0
+                for t in range(nb - 1, -1, -1):
+                    @pl.when(block_possible(t, ox, oy, oz, dx, dy, dz))
+                    def _(t=t):
+                        list_ref[cnt_ref[0]] = t
+                        cnt_ref[0] = cnt_ref[0] + 1
+
+                def block(i, c):
+                    base = list_ref[i] * SPHERE_BLOCK + (SPHERE_BLOCK - 1)
+                    for k in range(SPHERE_BLOCK):
+                        c = step(base - k, c)
+                    return c
+
+                return jax.lax.fori_loop(0, cnt_ref[0], block, carry)
+
+            def block(i, c):
+                base = (nb - 1 - i) * SPHERE_BLOCK + (SPHERE_BLOCK - 1)
+                for k in range(SPHERE_BLOCK):
+                    c = step(base - k, c)
+                return c
+
+            return jax.lax.fori_loop(0, nb, block, carry)
+
         def any_hit(ox, oy, oz, dx, dy, dz, maxt):
             def step(j, occ):
                 tj = sphere_t(j, ox, oy, oz, dx, dy, dz)
                 return jnp.where((tj != 0.0) & (tj < maxt), 1.0, occ)
 
             if loop_scene:
-                # Same blocked sweep as ``nearest`` (order irrelevant
-                # for an any-hit OR; 1-register carry), with the same
-                # per-block bounding-sphere cull (maxt ignored by the
-                # bound test — conservative superset).
-                nb = n_spheres // SPHERE_BLOCK
-                rem = n_spheres - nb * SPHERE_BLOCK
-                occ = zero
-                for j in range(n_spheres - 1, n_spheres - rem - 1, -1):
-                    occ = step(j, occ)
-                top = n_spheres - rem - 1
-
-                def block(i, c):
-                    base = top - i * SPHERE_BLOCK
-
-                    def run(c):
-                        for k in range(SPHERE_BLOCK):
-                            c = step(base - k, c)
-                        return c
-
-                    if not CULL_BLOCKS:
-                        return run(c)
-                    return jax.lax.cond(
-                        block_possible(nb - 1 - i, ox, oy, oz, dx, dy, dz),
-                        run, lambda c: c, c,
-                    )
-
-                occ = jax.lax.fori_loop(0, nb, block, occ)
+                # Same culled blocked sweep as ``nearest`` (order
+                # irrelevant for an any-hit OR; 1-register carry). The
+                # block flags are rebuilt against THESE shadow rays
+                # (maxt ignored by the bound test — conservative
+                # superset). Carry is a 1-tuple so _culled_sweep's
+                # tuple plumbing is shared.
+                occ = _culled_sweep(
+                    lambda j, c: (step(j, c[0]),), (zero,),
+                    ox, oy, oz, dx, dy, dz,
+                )[0]
             else:
                 occ = zero
                 for j in range(n_spheres - 1, -1, -1):
@@ -624,7 +622,7 @@ def _pass_impl(
     s0: jnp.ndarray,  # [Rp] uint32 (padded to tile multiple)
     s1: jnp.ndarray,
     acc: jnp.ndarray,  # [3, Rp/128, 128] f32
-    pix_offset: jnp.ndarray | None = None,  # scalar int32, shard base
+    pix: jnp.ndarray | None = None,  # [Rp] i32 absolute pixel id per lane
     *,
     width: int,
     height: int,
@@ -651,32 +649,38 @@ def _pass_impl(
     )
     s2 = s0.reshape(rows, LANES)
     s3 = s1.reshape(rows, LANES)
+    if pix is None:
+        pix = jnp.arange(rp, dtype=jnp.int32)
+    pix2 = pix.reshape(rows, LANES)
 
     # The loop kernel indexes spheres dynamically — scalar memory is the
     # right home for the table there; the unrolled kernel reads static
     # offsets, fine from VMEM.
     scene_space = pltpu.SMEM if loop_scene else pltpu.VMEM
 
-    if pix_offset is None:
-        pix_offset = jnp.int32(0)
-
     in_arrays = [
         sample_idx.reshape(1, 1),
-        jnp.asarray(pix_offset, jnp.int32).reshape(1, 1),
         scene_tab,
     ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # sample idx (1,1)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # pixel offset (1,1)
         pl.BlockSpec(memory_space=scene_space),  # scene table
     ]
+    scratch_shapes = []
     if loop_scene:
-        # Per-block bounding spheres for the tile-level cull.
+        # Per-block bounding spheres + the compacted active-block list
+        # scratch for the tile-level cull.
         in_arrays.append(block_bounds(scene_tab))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    in_arrays += [cam_tab, s2, s3, acc]
+        nb = max(n // SPHERE_BLOCK, 1)
+        scratch_shapes = [
+            pltpu.SMEM((nb,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ]
+    in_arrays += [cam_tab, pix2, s2, s3, acc]
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # camera
+        pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((sublanes, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, sublanes, LANES), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
@@ -698,6 +702,7 @@ def _pass_impl(
             jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
         ],
         input_output_aliases={base: 0, base + 1: 1, base + 2: 2},
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*in_arrays)
     return out_s0.reshape(rp), out_s1.reshape(rp), out_acc
@@ -726,7 +731,7 @@ def pt_multi_pass(
     s0: jnp.ndarray,
     s1: jnp.ndarray,
     acc: jnp.ndarray,
-    pix_offset: jnp.ndarray | None = None,
+    pix: jnp.ndarray | None = None,
     *,
     num_samples: int,
     width: int,
@@ -750,7 +755,7 @@ def pt_multi_pass(
     def body(carry, i):
         s0, s1, acc = carry
         s0, s1, acc = _pass_impl(
-            scene_tab, cam_tab, start_sample + i, s0, s1, acc, pix_offset,
+            scene_tab, cam_tab, start_sample + i, s0, s1, acc, pix,
             width=width, height=height, max_depth=max_depth,
             direct_only=direct_only, light_indices=light_indices,
             emissive_flags=emissive_flags, sublanes=sublanes,
@@ -762,6 +767,58 @@ def pt_multi_pass(
         body, (s0, s1, acc), jnp.arange(num_samples, dtype=jnp.int32)
     )
     return s0, s1, acc
+
+
+@functools.lru_cache(maxsize=32)
+def ray_layout(
+    width: int, height: int, sublanes: int = DEF_SUBLANES,
+    blocked: bool = False, tile_multiple: int = 1,
+):
+    """Lane <-> pixel layout for the fused kernel.
+
+    Returns (rp, pix, inv) as host numpy: ``rp`` = padded lane count,
+    ``pix[lane]`` = absolute pixel id (pad lanes get ``width*height`` —
+    one past the end, the pad slot of a seed array extended by one),
+    ``inv[pixel]`` = lane holding that pixel (None for the identity
+    layout, where lane == pixel and assembly is a slice).
+
+    Identity order serves small scenes. ``blocked`` remaps lanes so
+    each [sublanes, 128] tile covers a near-square image block (64x32
+    at sublanes=16) — a tight tile frustum is what makes the
+    large-scene per-tile block cull effective: measured primary-bounce
+    block survival on complex783 is 10.5% for 64x32 blocks vs 23% for
+    the 4-row strips the flat order produces (tools/profile_complex.py
+    predictor). Values are UNCHANGED by the remap (pixel ids, and
+    therefore RNG streams and radiances, travel with the lane).
+
+    ``tile_multiple``: round the tile count up to this multiple (sharded
+    renders need equal whole-tile shards per device)."""
+    r = width * height
+    tile = sublanes * LANES
+    m = tile_multiple
+
+    def round_tiles(ntiles):
+        return ((ntiles + m - 1) // m) * m
+
+    if not blocked:
+        rp = round_tiles((r + tile - 1) // tile) * tile
+        return rp, np.arange(rp, dtype=np.int32), None
+    th_ = 32
+    tw_ = max(tile // th_, 1)
+    gw = (width + tw_ - 1) // tw_
+    gh = (height + th_ - 1) // th_
+    rp = round_tiles(gw * gh) * tile
+    lanes = np.arange(rp)
+    ti, wi = lanes // tile, lanes % tile
+    wy, wx = wi // tw_, wi % tw_
+    tr, tc = ti // gw, ti % gw
+    px = tc * tw_ + wx
+    py = tr * th_ + wy
+    valid = (px < width) & (py < height) & (ti < gw * gh)
+    pix = np.where(valid, py * width + px, r).astype(np.int32)
+    inv = np.empty(r, np.int64)
+    inv[pix[valid]] = lanes[valid]
+    return rp, pix, inv
 
 
 def render_pallas(
@@ -781,20 +838,24 @@ def render_pallas(
 
     w, h = config.width, config.height
     r = w * h
-    tile = DEF_SUBLANES * LANES
-    rp = ((r + tile - 1) // tile) * tile
     spp = num_samples if num_samples is not None else config.spp
+    blocked = scene.num_spheres > UNROLL_MAX_SPHERES
+    rp, pix_np, inv_np = ray_layout(w, h, DEF_SUBLANES, blocked)
 
     if state is None:
-        # Seed the REAL pixels exactly like the XLA path (same stream over
-        # (r,)), then pad the tile remainder with an inert state — keeps
-        # Pallas output bit-identical to the jnp path at every resolution,
-        # not just tile multiples. Pad value 2 is the minimal valid MWC
-        # seed; for the counter RNG the pad is (key=2, ctr=2), equally
-        # valid and discarded.
+        # Seed the REAL pixels exactly like the XLA path (same stream
+        # over (r,)), then lay the per-pixel states out in LANE order
+        # (identity for small scenes; tile-blocked for loop scenes) with
+        # an inert pad state in the slack lanes — output stays
+        # bit-identical to the jnp path at every resolution and layout.
+        # Pad value 2 is the minimal valid MWC seed; for the counter RNG
+        # the pad is (key=2, ctr=2), equally valid and discarded.
         s0, s1 = init_state(config.rng, (r,), config.seed)
-        if rp != r:
-            pad = jnp.full((rp - r,), 2, jnp.uint32)
+        pad = jnp.full((max(rp - r, 1),), 2, jnp.uint32)
+        if blocked:
+            s0 = jnp.concatenate([s0, pad[:1]])[pix_np]
+            s1 = jnp.concatenate([s1, pad[:1]])[pix_np]
+        elif rp != r:
             s0 = jnp.concatenate([s0, pad])
             s1 = jnp.concatenate([s1, pad])
         acc = jnp.zeros((3, rp // LANES, LANES), jnp.float32)
@@ -809,6 +870,7 @@ def render_pallas(
     )
     s0, s1, acc = pt_multi_pass(
         scene_tab, cam_tab, jnp.int32(start), s0, s1, acc,
+        jnp.asarray(pix_np),
         num_samples=spp, width=w, height=h, max_depth=config.max_depth,
         direct_only=(config.integrator == "dl"),
         light_indices=scene.light_indices,
@@ -816,5 +878,7 @@ def render_pallas(
         interpret=interpret,
         rng=config.rng,
     )
-    img = acc.reshape(3, rp)[:, :r].T.reshape(h, w, 3)
+    flat = acc.reshape(3, rp)
+    flat = flat[:, inv_np] if blocked else flat[:, :r]
+    img = flat.T.reshape(h, w, 3)
     return img, (s0, s1, acc, start + spp)

@@ -22,7 +22,13 @@ import jax.numpy as jnp
 
 from se195_raytracer_tpu.core.types import EPSILON, Scene
 
-_INF = jnp.float32(1e20)  # geomfunc.h:80 — initial nearest-hit distance
+# geomfunc.h:80 — initial nearest-hit distance. Host-side np scalar, NOT
+# jnp: a module-level jnp constant initializes the XLA backend at import
+# time, which breaks jax.distributed.initialize in multi-process runs
+# (it must run before ANY backend use — scripts/multihost_bench.py).
+import numpy as _np
+
+_INF = _np.float32(1e20)
 
 
 def sphere_intersect(

@@ -123,9 +123,11 @@ def render_pallas_sharded(
     from se195_raytracer_tpu.kernels.pt_kernel import (
         DEF_SUBLANES,
         LANES,
+        UNROLL_MAX_SPHERES,
         pack_camera,
         pack_scene,
         pt_multi_pass,
+        ray_layout,
     )
     from se195_raytracer_tpu.parallel.mesh import RAY_AXIS
 
@@ -134,14 +136,20 @@ def render_pallas_sharded(
     n_dev = int(mesh.devices.size)
     w, h = config.width, config.height
     r = w * h
-    tile = DEF_SUBLANES * LANES * n_dev
-    rp = ((r + tile - 1) // tile) * tile
-    shard = rp // n_dev
+    blocked = scene.num_spheres > UNROLL_MAX_SPHERES
+    rp, pix_np, inv_np = ray_layout(
+        w, h, DEF_SUBLANES, blocked, tile_multiple=n_dev
+    )
 
     if state is None:
+        # Per-pixel streams laid out in lane order — identical to
+        # render_pallas's init, so shard output == single-device output.
         s0, s1 = init_state(config.rng, (r,), config.seed)
-        if rp != r:
-            pad = jnp.full((rp - r,), 2, jnp.uint32)
+        pad = jnp.full((max(rp - r, 1),), 2, jnp.uint32)
+        if blocked:
+            s0 = jnp.concatenate([s0, pad[:1]])[pix_np]
+            s1 = jnp.concatenate([s1, pad[:1]])[pix_np]
+        elif rp != r:
             s0 = jnp.concatenate([s0, pad])
             s1 = jnp.concatenate([s1, pad])
         acc = jnp.zeros((3, rp // LANES, LANES), jnp.float32)
@@ -152,6 +160,7 @@ def render_pallas_sharded(
     sh = ray_sharding(mesh)
     s0 = jax.device_put(s0, sh)
     s1 = jax.device_put(s1, sh)
+    pix = jax.device_put(jnp.asarray(pix_np), sh)
     acc = jax.device_put(
         acc, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, RAY_AXIS, None))
     )
@@ -161,10 +170,12 @@ def render_pallas_sharded(
         bool(i in scene.light_indices) for i in range(scene.num_spheres)
     )
 
-    def body(scene_tab, cam_tab, s0, s1, acc):
-        base = jax.lax.axis_index(RAY_AXIS).astype(jnp.int32) * shard
+    def body(scene_tab, cam_tab, pix, s0, s1, acc):
+        # pix carries ABSOLUTE pixel ids, so every device draws the same
+        # jittered ray for a given pixel as a single-device render would
+        # (shard-invariant RNG keying) — no per-shard offset needed.
         return pt_multi_pass(
-            scene_tab, cam_tab, jnp.int32(start), s0, s1, acc, base,
+            scene_tab, cam_tab, jnp.int32(start), s0, s1, acc, pix,
             num_samples=config.spp, width=w, height=h,
             max_depth=config.max_depth,
             direct_only=(config.integrator == "dl"),
@@ -182,11 +193,14 @@ def render_pallas_sharded(
     s0, s1, acc = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(None, RAY_AXIS, None)),
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                  P(None, RAY_AXIS, None)),
         out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(None, RAY_AXIS, None)),
         check_vma=False,
-    )(scene_tab, cam_tab, s0, s1, acc)
-    img = acc.reshape(3, rp)[:, :r].T.reshape(h, w, 3)
+    )(scene_tab, cam_tab, pix, s0, s1, acc)
+    flat = acc.reshape(3, rp)
+    flat = flat[:, inv_np] if blocked else flat[:, :r]
+    img = flat.T.reshape(h, w, 3)
     return img, (s0, s1, acc, start + config.spp)
 
 

@@ -35,10 +35,17 @@ def test_pallas_matches_jnp(scene_name, integrator):
 
 def test_pallas_loop_kernel_matches_jnp():
     """Scenes above UNROLL_MAX_SPHERES take the fori_loop kernel (scene
-    table in SMEM, hit attributes in the loop carry) — same contract as
-    the unrolled kernel: identical RNG streams, float-reassociation-level
-    value agreement."""
-    from se195_raytracer_tpu.kernels.pt_kernel import UNROLL_MAX_SPHERES
+    table in SMEM, hit attributes in the loop carry, block-culled sweep
+    over the square-block ray layout) — same contract as the unrolled
+    kernel: identical RNG streams, float-reassociation-level value
+    agreement. Loop scenes lay rays out in tile-block order
+    (pt_kernel.ray_layout), so the per-pixel state comparison maps lanes
+    back through the layout's inverse."""
+    from se195_raytracer_tpu.kernels.pt_kernel import (
+        DEF_SUBLANES,
+        UNROLL_MAX_SPHERES,
+        ray_layout,
+    )
     from se195_raytracer_tpu.scenes.generator import complex_scene
 
     spec = complex_scene(max_depth=3.0)  # 158 spheres
@@ -50,9 +57,9 @@ def test_pallas_loop_kernel_matches_jnp():
     a, b = np.asarray(img_ref), np.asarray(img_pal)
     close = np.isclose(a, b, rtol=2e-3, atol=2e-3)
     assert 1 - close.mean() <= 0.03
-    r = cfg.width * cfg.height
+    _, _, inv = ray_layout(cfg.width, cfg.height, DEF_SUBLANES, True)
     s0_ref = np.asarray(st_ref.s0)
-    s0_pal = np.asarray(st_pal[0])[:r]
+    s0_pal = np.asarray(st_pal[0])[inv]
     assert (s0_ref != s0_pal).mean() <= 0.01
 
 

@@ -31,6 +31,27 @@ def timed(fn):
     return best
 
 
+def marginal_between(run_scaled, lo, hi, unit_per_scale, reps=3):
+    """Best-of-reps marginal rate between two workload scales:
+    rate = unit_per_scale * (hi - lo) / (t_hi - t_lo). The fixed
+    ~0.1-0.4 s tunnel sync cancels in the difference — this is the r5
+    answer to every sub-second e2e row being sync-dominated (r4 weak
+    #6). ``run_scaled(k)`` must execute the k-scaled workload ending in
+    one host fetch."""
+    run_scaled(lo)
+    run_scaled(hi)
+    tl = th = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_scaled(lo)
+        tl = min(tl, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_scaled(hi)
+        th = min(th, time.perf_counter() - t0)
+    rate = unit_per_scale * (hi - lo) / max(th - tl, 1e-9)
+    return tl, th, rate
+
+
 def timed_row(fn, row_base):
     """timed() with the failure recorded in the row instead of killing
     the whole matrix (a server-side TPU compile crash surfaces as a
@@ -101,6 +122,8 @@ def main():
 
     from se195_raytracer_tpu.kernels.whitted_kernel import render_whitted_pallas
 
+    import numpy as np
+
     for name in ["room", "grid"]:
         for pallas in (False, True):
             scene = WHITTED_SCENES[name]()
@@ -123,6 +146,33 @@ def main():
                 "elapsed_s": round(elapsed, 5),
                 "rays_per_sec": round(rays / elapsed, 1),
             })
+            print(json.dumps(results[-1]), flush=True)
+
+            # Marginal row: k sequential frames, one final fetch — the
+            # whitted family has no spp axis, so the workload scale is
+            # the frame count (dispatches queue on-device; the last
+            # fetch syncs the chain).
+            def run_k(k, run=run):
+                out = None
+                for _ in range(k):
+                    out = run()
+                np.asarray(out)
+
+            base_m = dict(base)
+            base_m["config"] += "_marginal"
+            try:
+                tl, th, rate = marginal_between(run_k, 1, 4, rays)
+            except Exception as e:  # noqa: BLE001
+                base_m["error"] = str(e).splitlines()[0][:160]
+                results.append(base_m)
+            else:
+                results.append({
+                    **base_m,
+                    "elapsed_lo_s": round(tl, 4),
+                    "elapsed_hi_s": round(th, 4),
+                    "frames_lo_hi": [1, 4],
+                    "marginal_rays_per_sec": round(rate, 1),
+                })
             print(json.dumps(results[-1]), flush=True)
 
     # raytracer5 family (whitted5): brute 1-ray and adaptive 1-vs-4-ray
@@ -180,6 +230,48 @@ def main():
                 if mode == "adaptive":
                     row["edge_fraction"] = round(float(frac_box["f"]), 4)
             results.append(row)
+            print(json.dumps(results[-1]), flush=True)
+
+        # Marginal rows for the whitted5 family (r4 weak #6: every
+        # sub-second e2e row is sync-dominated): brute and pallas get
+        # the spp-slope; adaptive repeats whole frames (its host
+        # compaction round-trip is part of the algorithm and is
+        # honestly included in the slope).
+        for mode in ("brute", "pallas", "adaptive"):
+            base_m = {"config": f"whitted5_room5_{w}x{h}_{mode}_marginal",
+                      "n_prims": scene5.num_prims,
+                      "pallas": mode == "pallas"}
+            try:
+                if mode == "adaptive":
+                    def run_k(k):
+                        for _ in range(k):
+                            img, _ = render_whitted5_adaptive(
+                                scene5, width=w, height=h
+                            )
+                        np.asarray(img)
+
+                    tl, th, rate = marginal_between(run_k, 1, 3, w * h)
+                    lohi = [1, 3]
+                else:
+                    fn5 = (render_whitted5_pallas if mode == "pallas"
+                           else render_whitted5)
+
+                    def run_spp(spp, fn5=fn5):
+                        np.asarray(fn5(scene5, width=w, height=h, spp=spp))
+
+                    tl, th, rate = marginal_between(run_spp, 1, 9, w * h)
+                    lohi = [1, 9]
+            except Exception as e:  # noqa: BLE001
+                base_m["error"] = str(e).splitlines()[0][:160]
+                results.append(base_m)
+            else:
+                results.append({
+                    **base_m,
+                    "elapsed_lo_s": round(tl, 4),
+                    "elapsed_hi_s": round(th, 4),
+                    "scale_lo_hi": lohi,
+                    "marginal_rays_per_sec": round(rate, 1),
+                })
             print(json.dumps(results[-1]), flush=True)
 
     # Marginal-rate rows (the noise-robust metric: slope between a small

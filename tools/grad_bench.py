@@ -77,6 +77,46 @@ def pixel_grad_check(scene, cam, cfg, param, idx, eps, soft=0.0):
     return float(err.max()), float(np.percentile(err, 99)), scale
 
 
+def light_capsule_mask(scene_true, scene0, cam, width, height, li,
+                       margin=1.4, nseg=17):
+    """Boolean [H, W] mask of pixels whose primary ray can see the
+    emissive disk ANYWHERE along the optimization path (the segment
+    from scene0's light center to the true one), dilated by ``margin``.
+
+    These are the pixels where the hard estimator's visibility step
+    makes the L2 gradient-blind; the loss restricted to the COMPLEMENT
+    ("interior" pixels) is the component the optimizer can actually
+    descend, and its curve is the evidence for the hard-mode note."""
+    import jax.numpy as jnp
+
+    from se195_raytracer_tpu.core.types import update_camera
+    from se195_raytracer_tpu.driver.render import pixel_coords
+
+    basis = update_camera(cam, width, height)
+    xs, ys = pixel_coords(width, height)
+    kcx = (np.asarray(xs, np.float32) + 0.5) / width - 0.5
+    kcy = (np.asarray(ys, np.float32) + 0.5) / height - 0.5
+    bdir = np.asarray(basis.dir)
+    bx, by = np.asarray(basis.x), np.asarray(basis.y)
+    d = bdir[None] + bx[None] * kcx[:, None] + by[None] * kcy[:, None]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    orig = np.asarray(basis.orig)
+
+    c0 = np.asarray(scene0.center[li])
+    c1 = np.asarray(scene_true.center[li])
+    rad = float(np.asarray(scene_true.radius[li]))
+    mask = np.zeros(d.shape[0], bool)
+    for t in np.linspace(0.0, 1.0, nseg):
+        c = c0 + t * (c1 - c0)
+        v = c - orig
+        dist = np.linalg.norm(v)
+        cosang = (d @ v) / dist
+        ang = np.arccos(np.clip(cosang, -1.0, 1.0))
+        half = np.arcsin(min(rad / dist, 1.0)) * margin + 0.01
+        mask |= ang < half
+    return jnp.asarray(mask.reshape(height, width))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
@@ -88,6 +128,8 @@ def main():
                     help="use the jnp path for the forward too")
     ap.add_argument("--soft", type=float, default=0.5,
                     help="soft_edges width for the relaxed run/checks")
+    ap.add_argument("--interior-every", type=int, default=4,
+                    help="steps between interior-masked loss samples")
     args = ap.parse_args()
 
     import jax
@@ -133,11 +175,16 @@ def main():
     # Per-group rates: sphere centers live in scene units (tens), albedo
     # in [0,1] — one shared lr either stalls the center or blows up the
     # color, so centers train at 10x the base rate.
+    # LR schedule (r4 VERDICT weak #3: the soft run overshot its own
+    # best iterate with a constant rate): cosine decay to 5% over the
+    # run, per group.
     def group_opt(lr):
+        sched = optax.cosine_decay_schedule(lr, decay_steps=args.steps,
+                                            alpha=0.05)
         return optax.chain(
             optax.zero_nans(),
             optax.clip_by_global_norm(10.0),
-            optax.adam(lr),
+            optax.adam(sched),
         )
 
     optimizer = optax.multi_transform(
@@ -147,38 +194,96 @@ def main():
     pf = lambda n: n in ("center", "color")
     trainable0 = {"center": scene0.center, "color": scene0.color}
 
+    li0 = scene_true.light_indices[0]
+    interior_keep = ~light_capsule_mask(
+        scene_true, scene0, cam, args.size, args.size, li0
+    )
+    mask_frac = float(1.0 - np.asarray(interior_keep).mean())
+
     def run_opt(opt_cfg, label):
-        """One optimization run; returns (loss_curve, step_seconds,
-        recovered errs). ``opt_cfg.soft_edges > 0`` runs the
-        differentiable-visibility relaxation: the L2 target is rendered
-        with the SAME relaxed estimator so the loss is consistent."""
+        """One optimization run. Returns a dict with the loss curve, the
+        interior-masked loss curve (hard-mode evidence), and the
+        BEST-ITERATE parameters (st.loss at step i is evaluated at the
+        pre-update parameters, so the best iterate is recoverable
+        exactly). ``opt_cfg.soft_edges > 0`` runs the relaxation with a
+        consistently-relaxed target."""
         tgt = target
         if getattr(opt_cfg, "soft_edges", 0.0) > 0.0:
             tgt = render_differentiable(scene_true, cam, opt_cfg)
+
+        def interior_loss(scene):
+            img = render_differentiable(scene, cam, opt_cfg)
+            d2 = (img - tgt) ** 2
+            return float(jnp.mean(
+                jnp.where(interior_keep[:, :, None], d2, 0.0)
+            ) / jnp.mean(interior_keep))
+
         st = OptState(
             scene0, cam, optimizer.init(trainable0), jnp.float32(0.0)
         )
         step = make_inverse_step(tgt, opt_cfg, optimizer, pf)
-        curve, secs = [], []
+        curve, secs, interior = [], [], []
+        best = {"loss": float("inf"), "scene": scene0, "step": -1}
+        prev_scene = st.scene
         for i in range(args.steps):
+            if i % args.interior_every == 0:
+                interior.append([i, round(interior_loss(st.scene), 8)])
             t0 = time.perf_counter()
             st = step(st)
-            loss = float(st.loss)  # host sync
+            loss = float(st.loss)  # host sync; loss AT prev_scene
             dt = time.perf_counter() - t0
             curve.append(loss)
             secs.append(round(dt, 4))
+            if loss < best["loss"]:
+                best = {"loss": loss, "scene": prev_scene, "step": i}
+            prev_scene = st.scene
             if i % max(1, args.steps // 10) == 0 or i == args.steps - 1:
                 print(f"[{label}] step {i:3d}  loss {loss:.6e}  {dt:.2f}s",
                       flush=True)
-        err_center = float(np.abs(
-            _fetch(st.scene.center[8]) - _fetch(scene_true.center[8])
-        ).max())
-        err_color = float(np.abs(
-            _fetch(st.scene.color[0]) - _fetch(scene_true.color[0])
-        ).max())
-        print(f"[{label}] light-center err {err_center:.3f} (was 8.0), "
+        final_loss = float(l2_image_loss(st.scene, cam, tgt, opt_cfg))
+        curve.append(final_loss)
+        if final_loss < best["loss"]:
+            best = {"loss": final_loss, "scene": st.scene,
+                    "step": args.steps}
+        interior.append([args.steps,
+                         round(interior_loss(st.scene), 8)])
+
+        def errs(scene):
+            ec = float(np.abs(
+                _fetch(scene.center[8]) - _fetch(scene_true.center[8])
+            ).max())
+            eco = float(np.abs(
+                _fetch(scene.color[0]) - _fetch(scene_true.color[0])
+            ).max())
+            return ec, eco
+
+        err_center, err_color = errs(best["scene"])
+        fin_center, fin_color = errs(st.scene)
+        print(f"[{label}] BEST step {best['step']} loss {best['loss']:.6e}"
+              f"  light-center err {err_center:.3f} (was 8.0), "
               f"wall-albedo err {err_color:.3f} (was 0.45)", flush=True)
-        return curve, secs, err_center, err_color
+        return {
+            "loss_curve": [round(x, 8) for x in curve],
+            "interior_loss_curve": interior,
+            "interior_mask_fraction": round(mask_frac, 4),
+            "step_seconds": secs,
+            "median_step_s": round(float(np.median(secs)), 4),
+            "loss_first_over_best": round(
+                curve[0] / max(best["loss"], 1e-12), 2
+            ),
+            "best_step": best["step"],
+            "best_loss": round(best["loss"], 8),
+            "final_loss": round(final_loss, 8),
+            "final_equals_best": best["step"] == args.steps,
+            "recovered_at_best": {
+                "light_center_max_err": round(err_center, 4),
+                "wall_albedo_max_err": round(err_color, 4),
+            },
+            "recovered_at_final": {
+                "light_center_max_err": round(fin_center, 4),
+                "wall_albedo_max_err": round(fin_color, 4),
+            },
+        }
 
     import dataclasses as _dc
 
@@ -186,15 +291,14 @@ def main():
     # only — the optimizer cannot see the emissive disk's position
     # through its silhouette, so the L2's disk-overlap component is
     # gradient-invisible and the loss need not decrease monotonically
-    # even as parameters improve (this is the r3 "rising loss" mystery,
-    # explained: it descends the component it can see).
-    loss_curve, step_seconds, err_center, err_color = run_opt(cfg, "hard")
+    # even as parameters improve. The interior_loss_curve (same L2
+    # restricted to pixels that never see the disk) is the measured
+    # form of that claim: it should FALL even when the total rises.
+    hard = run_opt(cfg, "hard")
     # SOFT estimator (soft_edges relaxation): silhouette gradients exist;
     # the loss should now actually decrease and the light recover.
     cfg_soft = _dc.replace(cfg, soft_edges=args.soft, use_pallas=False)
-    (soft_curve, soft_secs, soft_err_center, soft_err_color) = run_opt(
-        cfg_soft, "soft"
-    )
+    soft = run_opt(cfg_soft, "soft")
 
     # North-star gradient metric at full frame size. Emission and albedo
     # enter the estimator (near-)linearly -> FD is trustworthy everywhere;
@@ -206,15 +310,15 @@ def main():
         ("color", (0, 1), 1e-3, "wall albedo g"),
         ("center", (li, 1), 1e-2, "light center y"),
     ]:
-        for soft in (0.0, args.soft):
-            mode = "hard" if soft == 0.0 else f"soft w={soft}"
+        for soft_w in (0.0, args.soft):
+            mode = "hard" if soft_w == 0.0 else f"soft w={soft_w}"
             print(f"pixel-grad FD check: {tag} [{mode}]...", flush=True)
             mx, p99, scale = pixel_grad_check(
-                scene_true, cam, cfg, param, idx, eps, soft=soft
+                scene_true, cam, cfg, param, idx, eps, soft=soft_w
             )
             checks.append({
                 "param": tag, "index": list(idx), "eps": eps,
-                "soft_edges": soft,
+                "soft_edges": soft_w,
                 "max_abs_err": mx, "p99_abs_err": p99, "fd_scale": scale,
                 "max_err_pct_of_scale": round(100.0 * mx / scale, 2),
             })
@@ -230,6 +334,11 @@ def main():
             "device": str(jax.devices()[0]),
         },
         "target_render_s": round(t_target, 3),
+        "optimizer": {
+            "schedule": "cosine_decay(alpha=0.05) per group",
+            "base_lr": args.lr, "geom_lr_mult": 10.0,
+            "best_iterate_tracking": True,
+        },
         "hard": {
             "note": (
                 "reference-hard visibility: silhouette pixels carry no "
@@ -237,31 +346,15 @@ def main():
                 "(diffuse-field) component of the L2 — the emissive "
                 "disk's overlap term is gradient-invisible and the "
                 "total loss need not fall monotonically even while "
-                "parameters improve"
+                "parameters improve; interior_loss_curve ([step, loss] "
+                "over pixels that never see the disk) is the measured "
+                "form of that claim"
             ),
-            "loss_curve": [round(x, 8) for x in loss_curve],
-            "step_seconds": step_seconds,
-            "median_step_s": round(float(np.median(step_seconds)), 4),
-            "loss_first_over_last": round(
-                loss_curve[0] / max(loss_curve[-1], 1e-12), 2
-            ),
-            "recovered": {
-                "light_center_max_err": round(err_center, 4),
-                "wall_albedo_max_err": round(err_color, 4),
-            },
+            **hard,
         },
         "soft": {
             "soft_edges": args.soft,
-            "loss_curve": [round(x, 8) for x in soft_curve],
-            "step_seconds": soft_secs,
-            "median_step_s": round(float(np.median(soft_secs)), 4),
-            "loss_first_over_last": round(
-                soft_curve[0] / max(soft_curve[-1], 1e-12), 2
-            ),
-            "recovered": {
-                "light_center_max_err": round(soft_err_center, 4),
-                "wall_albedo_max_err": round(soft_err_color, 4),
-            },
+            **soft,
         },
         "pixel_grad_checks": checks,
     }
