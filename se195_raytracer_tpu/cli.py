@@ -74,6 +74,16 @@ def _add_render_args(p: argparse.ArgumentParser):
         "(raytracer5 Engine::Render, raytracer.cpp:481-535)",
     )
     p.add_argument(
+        "--soft", type=float, default=0.0, metavar="W",
+        help="differentiable-visibility relaxation width in world units "
+        "(0 = reference-hard estimator). pt/dl: softens emissive-hit and "
+        "shadow indicators (models/smallpt.py); whitted5: softens the "
+        "CalcShade shadow visibility (area-light silhouette gradients). "
+        "Runs on the jnp path — the Pallas kernels implement the hard "
+        "estimator, and the relaxation must be identical in forward and "
+        "backward for FD/autodiff consistency",
+    )
+    p.add_argument(
         "--profile",
         default="",
         metavar="DIR",
@@ -130,6 +140,13 @@ def cmd_render(args) -> int:
     from se195_raytracer_tpu.io.image import write_image
     from se195_raytracer_tpu.ops.tonemap import to_int_np
 
+    use_pallas = args.pallas
+    if args.soft > 0.0 and use_pallas is not False:
+        # The relaxation runs on the jnp path (see --soft help).
+        if use_pallas:
+            print("--soft: using the jnp path (kernels implement the "
+                  "hard estimator)", file=sys.stderr)
+        use_pallas = False
     cfg = RenderConfig(
         width=args.width,
         height=args.height,
@@ -138,10 +155,11 @@ def cmd_render(args) -> int:
         integrator=args.integrator if args.integrator in ("pt", "dl") else "pt",
         seed=args.seed,
         ray_tile=args.ray_tile,
-        use_pallas=args.pallas,
+        use_pallas=use_pallas,
         supersample=args.supersample,
         trace_depth=args.trace_depth,
         hit_bias=args.hit_bias,
+        soft_edges=args.soft,
     )
     from se195_raytracer_tpu.utils.profiling import maybe_trace
 
@@ -171,7 +189,8 @@ def cmd_render(args) -> int:
                     file=sys.stderr,
                 )
             else:
-                if args.pallas:
+                kw5 = {}
+                if args.pallas and args.soft == 0.0:
                     from se195_raytracer_tpu.kernels.whitted5_kernel import (
                         render_whitted5_pallas,
                     )
@@ -179,10 +198,12 @@ def cmd_render(args) -> int:
                     fn5 = render_whitted5_pallas
                 else:
                     fn5 = render_whitted5
+                    if args.soft > 0.0:
+                        kw5["soft_edges"] = args.soft
                 img = np.asarray(
                     fn5(
                         scene5, width=args.width, height=args.height,
-                        spp=args.spp, seed=args.seed,
+                        spp=args.spp, seed=args.seed, **kw5,
                     )
                 )
             img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)

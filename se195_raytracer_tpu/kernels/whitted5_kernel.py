@@ -908,12 +908,12 @@ def render_whitted5_pallas(
     MXU texel unit (kernels/texel_kernel.py) unless disabled."""
     from se195_raytracer_tpu.kernels.texel_kernel import prepare_texel_tables
     from se195_raytracer_tpu.models.whitted5 import (
-        _init_state5_np,
-        camera_rays5,
+        _cached_rays5,
+        _cached_state5,
     )
 
-    o, d = camera_rays5(width, height)
-    state = _init_state5_np(o.shape[0], seed)
+    o, d = _cached_rays5(width, height)
+    state = _cached_state5(o.shape[0], seed)
     tabs = prepare_texel_tables(scene) if use_mxu_texels else None
     return _whitted5_frame_pallas(
         scene, o, d, state, spp=spp, trace_depth=trace_depth,
