@@ -15,9 +15,13 @@ sampling (DiffuseRefl, raytracer.cpp:290-319) and refraction directions
 128] ray tiles, with the 23-row scene table on-chip.
 
 What stays OUTSIDE the kernel (driver ``whitted5_trace_pallas``): the
-bilinear texture fetches (Texture::GetTexel, scene.cpp:81-106) and every
-color-dependent combine — Mosaic has no per-lane vector gather, and a
-200x200 texel gather is exactly what XLA does well. The kernel therefore
+bilinear texture fetches and every color-dependent combine. Mosaic has
+no per-lane vector gather, and XLA's gather is HBM-latency-bound (~40 M
+amortized fetch/s measured) — so since r5 the fetch runs on the MXU
+texel unit (kernels/texel_kernel.py: Texture::GetTexel as one-hot
+matmuls against a VMEM-resident atlas, 98-225 M fetch/s, bitwise-equal
+for the reference's u8/256 TGA texels), with the XLA gather path kept
+as the fallback for mixed-shape textures. The kernel therefore
 emits the hit's local shading DECOMPOSED as (A, B) with
 ``local = A * color(hit) + B``: A is the summed diffuse light term
 (which multiplies the texture-modulated surface color), B is the summed

@@ -41,8 +41,13 @@ right shape on TPU for N <= ~1k; and the 100ms cooperative time slicing
 adaptive 1-vs-4-ray supersampling (Render:481-535) IS carried over, as a
 two-phase compacted renderer (``render_whitted5_adaptive``): full-frame
 primary pass -> primitive-change edge mask -> the 3 extra sub-pixel rays
-traced only for the compacted edge-pixel set (host-gathered, padded to a
-static bucket so jit shapes stay stable).
+traced only for the compacted edge-pixel set (fixed-size DEVICE-side
+compaction by default since r5 — no host round-trip; the exact-bucket
+host path is retained), with ``render_whitted5_4ray`` as the honest
+full-supersampling comparator. ``soft_edges > 0`` swaps CalcShade's
+binary visibility for the smooth shadow transmittance
+(_soft_shadow_transmittance) so area-light/occluder silhouettes carry
+gradients.
 """
 
 from __future__ import annotations

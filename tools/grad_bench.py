@@ -130,6 +130,12 @@ def main():
                     help="soft_edges width for the relaxed run/checks")
     ap.add_argument("--interior-every", type=int, default=4,
                     help="steps between interior-masked loss samples")
+    ap.add_argument("--sched-alpha", type=float, default=0.25,
+                    help="cosine-decay floor as a fraction of base lr")
+    ap.add_argument("--geom-mult-soft", type=float, default=3.0,
+                    help="soft-mode geometry lr multiplier (the relaxed "
+                    "estimator's silhouette gradients are strong — the "
+                    "hard mode's 10x boost overshoots)")
     args = ap.parse_args()
 
     import jax
@@ -180,17 +186,20 @@ def main():
     # run, per group.
     def group_opt(lr):
         sched = optax.cosine_decay_schedule(lr, decay_steps=args.steps,
-                                            alpha=0.05)
+                                            alpha=args.sched_alpha)
         return optax.chain(
             optax.zero_nans(),
             optax.clip_by_global_norm(10.0),
             optax.adam(sched),
         )
 
-    optimizer = optax.multi_transform(
-        {"geom": group_opt(args.lr * 10.0), "mat": group_opt(args.lr)},
-        {"center": "geom", "color": "mat"},
-    )
+    def make_optimizer(geom_mult):
+        return optax.multi_transform(
+            {"geom": group_opt(args.lr * geom_mult),
+             "mat": group_opt(args.lr)},
+            {"center": "geom", "color": "mat"},
+        )
+
     pf = lambda n: n in ("center", "color")
     trainable0 = {"center": scene0.center, "color": scene0.color}
 
@@ -200,7 +209,7 @@ def main():
     )
     mask_frac = float(1.0 - np.asarray(interior_keep).mean())
 
-    def run_opt(opt_cfg, label):
+    def run_opt(opt_cfg, label, optimizer):
         """One optimization run. Returns a dict with the loss curve, the
         interior-masked loss curve (hard-mode evidence), and the
         BEST-ITERATE parameters (st.loss at step i is evaluated at the
@@ -294,11 +303,11 @@ def main():
     # even as parameters improve. The interior_loss_curve (same L2
     # restricted to pixels that never see the disk) is the measured
     # form of that claim: it should FALL even when the total rises.
-    hard = run_opt(cfg, "hard")
+    hard = run_opt(cfg, "hard", make_optimizer(10.0))
     # SOFT estimator (soft_edges relaxation): silhouette gradients exist;
     # the loss should now actually decrease and the light recover.
     cfg_soft = _dc.replace(cfg, soft_edges=args.soft, use_pallas=False)
-    soft = run_opt(cfg_soft, "soft")
+    soft = run_opt(cfg_soft, "soft", make_optimizer(args.geom_mult_soft))
 
     # North-star gradient metric at full frame size. Emission and albedo
     # enter the estimator (near-)linearly -> FD is trustworthy everywhere;
