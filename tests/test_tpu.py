@@ -166,3 +166,25 @@ def test_whitted5_adaptive_on_tpu(tpu):
     assert np.isfinite(img).all()
     assert 0.0 < frac < 0.5
     assert img.max() > 0.3 and np.abs(img).mean() > 0.01
+
+
+def test_texel_mxu_bitwise_equals_gather_on_tpu(tpu):
+    """The MXU texel unit (kernels/texel_kernel.py) vs the XLA gather
+    path ON CHIP: for the reference's u8/256 TGA texels the one-hot
+    matmul fetch must be BITWISE equal (bf16 holds u8/256 exactly; one
+    nonzero per contraction; reference blend order) — the whole basis
+    for routing whitted5 textures through the MXU."""
+    from se195_raytracer_tpu.kernels.whitted5_kernel import (
+        render_whitted5_pallas,
+    )
+    from se195_raytracer_tpu.scenes.whitted5_scenes import room5_scene
+
+    scene = room5_scene()
+    mxu = np.asarray(render_whitted5_pallas(
+        scene, width=160, height=120, spp=2, seed=5, use_mxu_texels=True
+    ))
+    gat = np.asarray(render_whitted5_pallas(
+        scene, width=160, height=120, spp=2, seed=5, use_mxu_texels=False
+    ))
+    assert np.isfinite(mxu).all()
+    assert np.array_equal(mxu, gat), np.abs(mxu - gat).max()

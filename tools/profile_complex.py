@@ -8,14 +8,14 @@ import subprocess
 import sys
 import time
 
+# r5 sweep results (marginal Mrays/s, complex783 512x512, two sessions;
+# run-to-run tunnel noise ~+-15%): cull-on 15-20 across block sizes
+# 16/24/32/48 (differences inside noise), cull-off 12-13, sublanes=8
+# 12.2. Default stays block16 + cull on + sublanes 16.
 LABELS = [
-    ("block16", {}),
-    ("block24", {"SE195_PT_BLOCK": "24"}),
+    ("default (block16, cull)", {}),
     ("block32", {"SE195_PT_BLOCK": "32"}),
-    ("block32 (rep)", {"SE195_PT_BLOCK": "32"}),
-    ("block48", {"SE195_PT_BLOCK": "48"}),
-    ("block32+sub8", {"SE195_PT_BLOCK": "32", "SE195_PT_SUBLANES": "8"}),
-    ("block32+nocull", {"SE195_PT_BLOCK": "32", "SE195_PT_CULL": "0"}),
+    ("nocull", {"SE195_PT_CULL": "0"}),
 ]
 
 CHILD = r"""
