@@ -196,3 +196,34 @@ def test_whitted5_kernel_sharded_invariant(mesh):
     )
     np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-6)
     assert float((sharded == single).mean()) > 0.99
+
+
+def test_blocked_layout_sharded_bitwise_equals_single_device():
+    """Loop scenes (>UNROLL_MAX_SPHERES) use the tile-blocked ray layout
+    (pt_kernel.ray_layout) whose lane<->pixel permutation must compose
+    with shard_map slicing: absolute per-lane pixel ids make every
+    device draw a given pixel's exact stream, so the 8-device render of
+    a 158-sphere scene is bitwise equal to the single-device one —
+    including the extra pad tiles the shard rounding introduces."""
+    import numpy as np
+
+    from se195_raytracer_tpu.core.config import RenderConfig
+    from se195_raytracer_tpu.kernels.pt_kernel import (
+        UNROLL_MAX_SPHERES,
+        render_pallas,
+    )
+    from se195_raytracer_tpu.parallel.mesh import make_mesh
+    from se195_raytracer_tpu.parallel.render_sharded import (
+        render_pallas_sharded,
+    )
+    from se195_raytracer_tpu.scenes.generator import complex_scene
+
+    spec = complex_scene(max_depth=3.0)  # 158 spheres -> loop kernel
+    scene, cam = spec.to_scene(), spec.to_camera()
+    assert scene.num_spheres > UNROLL_MAX_SPHERES
+    cfg = RenderConfig(width=64, height=32, spp=2, seed=7, max_depth=3,
+                       use_pallas=True)
+    img1, _ = render_pallas(scene, cam, cfg, interpret=True)
+    img8, _ = render_pallas_sharded(scene, cam, cfg, mesh=make_mesh(),
+                                    interpret=True)
+    assert np.array_equal(np.asarray(img1), np.asarray(img8))

@@ -11,8 +11,9 @@ smallptgpu-v1.6/smallptGPU.cpp:784-830 + displayfunc.cpp:252-420; here
 the "keystrokes" are optax updates from pixel gradients.
 
 Writes GRAD_BENCH.json:
-  {config, loss_curve, step_seconds, recovered_errors,
-   pixel_grad_checks: [{param, max_abs_err, p99_abs_err, ref_scale}]}
+  {config, optimizer, hard/soft: {loss_curve, interior_loss_curve,
+   best_step, best_loss, recovered_at_best, recovered_at_final, ...},
+   pixel_grad_checks: [{param, max_abs_err, p99_abs_err, fd_scale}]}
 
 Usage:  python tools/grad_bench.py [--size 512] [--spp 2] [--steps 30]
 """
