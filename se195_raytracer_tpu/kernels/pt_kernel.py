@@ -83,15 +83,31 @@ CULL_BLOCKS = _os.environ.get("SE195_PT_CULL", "1") != "0"
 # diffuse lanes die after the first NEE estimate (DL > PT e2e on the
 # chip, matching the reference's qualitative claim).
 EARLY_EXIT = _os.environ.get("SE195_PT_EARLYEXIT", "1") != "0"
+# Hoisted sphere test in the large-scene kernel (experiment knob):
+# det = b^2 - (o.o - 2 o.c + (c.c - r^2)) with o.d/o.o hoisted per sweep
+# and c.c - r^2 precomputed per sphere (scene row 12) — ~5 fewer plane
+# ops of ~31 per sphere visit. Measured on chip (r5, complex783 512x512
+# marginal, 2 sessions): hoist 16.8-20.8 vs default 16.5-17.8 Mrays/s —
+# inside tunnel noise, so the sweep is not purely VPU-op-bound (SMEM
+# scalar-load latency in the culled fori likely dominates). Default OFF;
+# reformulated f32 rounding shifts det by ulps (loop-kernel parity
+# tests are tolerance-based; the unrolled small-scene kernels never
+# use it).
+HOIST_SPHERE = _os.environ.get("SE195_PT_HOIST", "0") == "1"
 
 
 def pack_scene(scene: Scene) -> jnp.ndarray:
-    """[12, N] float32 scene table (refl stored as float; row 11 is the
+    """[13, N] float32 scene table (refl stored as float; row 11 is the
     emissive-classification flag — the reference's viszero test incl. its
-    y-bug, vec.h:44, baked host-side exactly like ``light_indices``)."""
+    y-bug, vec.h:44, baked host-side exactly like ``light_indices``;
+    row 12 is c.c - r^2 for the hoisted large-scene sphere test)."""
     emissive = np.zeros((1, scene.num_spheres), np.float32)
     for i in scene.light_indices:
         emissive[0, i] = 1.0
+    ccr = (
+        jnp.sum(scene.center * scene.center, axis=-1)
+        - scene.radius * scene.radius
+    )
     return jnp.concatenate(
         [
             scene.center.T,
@@ -100,6 +116,7 @@ def pack_scene(scene: Scene) -> jnp.ndarray:
             scene.color.T,
             scene.refl.astype(jnp.float32)[None, :],
             jnp.asarray(emissive),
+            ccr[None, :],
         ],
         axis=0,
     )
@@ -277,6 +294,14 @@ def _make_kernel(
         alive_f = one
         spec_f = one
 
+        def _roots_to_t(b, det):
+            hit = det >= 0.0
+            sq = jnp.sqrt(jnp.where(hit, det, 1.0))
+            t1 = b - sq
+            t2 = b + sq
+            tj = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
+            return jnp.where(hit, tj, 0.0)
+
         def sphere_t(j, ox, oy, oz, dx, dy, dz):
             """SphereIntersect (geomfunc.h:32-59): distance or 0 on miss."""
             opx = sc(0, j) - ox
@@ -284,12 +309,23 @@ def _make_kernel(
             opz = sc(2, j) - oz
             b = opx * dx + opy * dy + opz * dz
             det = b * b - (opx * opx + opy * opy + opz * opz) + sc(3, j) * sc(3, j)
-            hit = det >= 0.0
-            sq = jnp.sqrt(jnp.where(hit, det, 1.0))
-            t1 = b - sq
-            t2 = b + sq
-            tj = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
-            return jnp.where(hit, tj, 0.0)
+            return _roots_to_t(b, det)
+
+        def make_sphere_t_hoisted(ox, oy, oz, dx, dy, dz):
+            """Per-sweep-hoisted sphere test (HOIST_SPHERE, loop scenes):
+            b = c.d - o.d and det = b^2 - (o.o - 2 c.o + (c.c - r^2)),
+            with o.d and o.o computed once per sweep."""
+            od = ox * dx + oy * dy + oz * dz
+            oo = ox * ox + oy * oy + oz * oz
+
+            def f(j):
+                cd = sc(0, j) * dx + sc(1, j) * dy + sc(2, j) * dz
+                b = cd - od
+                co = sc(0, j) * ox + sc(1, j) * oy + sc(2, j) * oz
+                det = b * b - (oo - 2.0 * co + sc(12, j))
+                return _roots_to_t(b, det)
+
+            return f
 
         # Attribute rows carried through the nearest-hit fold: center,
         # emission, color, material, emissive flag (radius not needed
@@ -301,9 +337,14 @@ def _make_kernel(
             N-1 .. 0 with strict < so the larger index wins ties
             (geomfunc.h:82-89)."""
 
+            if loop_scene and HOIST_SPHERE:
+                t_of = make_sphere_t_hoisted(ox, oy, oz, dx, dy, dz)
+            else:
+                t_of = lambda j: sphere_t(j, ox, oy, oz, dx, dy, dz)
+
             def step(j, carry):
                 t_best = carry[0]
-                tj = sphere_t(j, ox, oy, oz, dx, dy, dz)
+                tj = t_of(j)
                 better = (tj != 0.0) & (tj < t_best)
                 new = [jnp.where(better, tj, t_best)]
                 for f, a in zip(ATTR_ROWS, carry[1:]):
@@ -369,8 +410,13 @@ def _make_kernel(
             return jax.lax.fori_loop(0, nb, block, carry)
 
         def any_hit(ox, oy, oz, dx, dy, dz, maxt):
+            if loop_scene and HOIST_SPHERE:
+                t_of = make_sphere_t_hoisted(ox, oy, oz, dx, dy, dz)
+            else:
+                t_of = lambda j: sphere_t(j, ox, oy, oz, dx, dy, dz)
+
             def step(j, occ):
-                tj = sphere_t(j, ox, oy, oz, dx, dy, dz)
+                tj = t_of(j)
                 return jnp.where((tj != 0.0) & (tj < maxt), 1.0, occ)
 
             if loop_scene:

@@ -14,8 +14,9 @@ import time
 # 12.2. Default stays block16 + cull on + sublanes 16.
 LABELS = [
     ("default (block16, cull)", {}),
-    ("block32", {"SE195_PT_BLOCK": "32"}),
-    ("nocull", {"SE195_PT_CULL": "0"}),
+    ("hoist", {"SE195_PT_HOIST": "1"}),
+    ("default (rep)", {}),
+    ("hoist (rep)", {"SE195_PT_HOIST": "1"}),
 ]
 
 CHILD = r"""
